@@ -1,0 +1,170 @@
+"""Feature-definition model (spec layer).
+
+Mirrors the reference's user-facing abstractions, re-expressed as plain
+dataclasses that drive DataFrame plans:
+
+- WindowSpec / SWAFeature  <- SlidingWindowFeature + WindowSpec + GroupBySpec
+  (feathr-impl/.../swj/SlidingWindowDataDef.scala:48-86)
+- Anchor                   <- feature anchor (feathr_project/feathr/definition/anchor.py)
+- DerivedFeature           <- feature_derivations.py:11-49
+- LookupFeature            <- lookup_feature.py:13-44
+- ObservationSettings      <- settings.py:32-66
+
+All window widths/delays are in SECONDS (float accepted); the engine
+normalizes every timestamp to int64 epoch MICROSECONDS internally, so
+sub-second event times compare exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+MICROS = 1_000_000
+
+# aggregation vocabulary: swj/aggregate/AggregationType.scala:3-6
+AGG_TYPES = {
+    "SUM",
+    "COUNT",
+    "AVG",
+    "MIN",
+    "MAX",
+    "LATEST",
+    "TIMESINCE",
+    "COUNT_DISTINCT",
+    "APPROX_COUNT_DISTINCT",
+    "SUM_POOLING",
+    "AVG_POOLING",
+    "MAX_POOLING",
+    "MIN_POOLING",
+}
+
+# aggregates whose window state is order-independent and expressible as a
+# Spark SQL window frame -> eligible for the pure-JVM "union" strategy
+FRAME_AGGS = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE", "COUNT_DISTINCT"}
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """Sliding window ``(t_obs - width - delay, t_obs - delay]``.
+
+    Left-exclusive / right-inclusive, exactly as the reference iterator
+    (swj/join/SlidingWindowJoinIterator.scala:177-220).
+    """
+
+    width: float  # seconds
+    delay: float = 0.0  # seconds
+
+    @property
+    def width_us(self) -> int:
+        return int(round(self.width * MICROS))
+
+    @property
+    def delay_us(self) -> int:
+        return int(round(self.delay * MICROS))
+
+
+@dataclass(frozen=True)
+class SWAFeature:
+    """One sliding-window aggregate feature over a fact source.
+
+    ``metric`` and ``filter`` are Spark SQL expressions over the fact
+    columns (the reference folds filter into the metric as
+    ``CASE WHEN filter THEN metric ELSE NULL END``,
+    swj/transformer/FeatureTransformer.scala:24-46 — we do the same).
+    ``group_by`` + ``limit`` produce ``array<struct<group,value>>``
+    top-K output (SlidingWindowDataDef.scala:63-65).
+    """
+
+    name: str
+    agg: str
+    metric: str
+    window: WindowSpec
+    filter: Optional[str] = None
+    group_by: Optional[str] = None
+    limit: Optional[int] = None
+    default: Any = None
+
+    def __post_init__(self):
+        if self.agg not in AGG_TYPES:
+            raise ValueError(f"unknown aggregation {self.agg!r}; expected one of {sorted(AGG_TYPES)}")
+
+
+@dataclass(frozen=True)
+class Feature:
+    """Row-level (non-windowed) anchored feature: name + SQL expression.
+
+    Reference: SQLConfigurableAnchorExtractor.scala:42-64 — each feature
+    is a Spark SQL expression over source columns.
+    """
+
+    name: str
+    expr: str
+    default: Any = None
+
+
+@dataclass
+class Source:
+    """A batch source: path + format + optional timestamp settings.
+
+    Reference: feathr_project/feathr/definition/source.py (HdfsSource).
+    """
+
+    path: str
+    fmt: str = "parquet"
+    timestamp_col: Optional[str] = None
+    timestamp_format: str = "epoch"  # epoch | epoch_millis | epoch_micros | strftime pattern
+    options: dict = field(default_factory=dict)
+    preprocessing: Optional[Callable] = None  # DataFrame -> DataFrame, pre-join hook
+
+
+@dataclass
+class Anchor:
+    """Binds features to a source with a key expression list.
+
+    Reference: anchor.py + SQLSourceKeyExtractor.scala:33-46 (keys are
+    SQL expressions appended as key0..keyN before join/agg).
+    """
+
+    name: str
+    source: Source
+    keys: list  # list[str] of SQL expressions over source columns
+    features: list  # list[Feature] | list[SWAFeature]
+    lateral_view: Optional[str] = None  # e.g. "explode(features)"
+    lateral_view_alias: str = "lv"
+    lateral_view_filter: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class DerivedFeature:
+    """Row-level expression over already-joined feature columns."""
+
+    name: str
+    expr: str
+    inputs: tuple = ()
+
+
+@dataclass(frozen=True)
+class LookupFeature:
+    """Sequential join: base feature value used as the key into an
+    expansion feature, then aggregated back to observation cardinality.
+
+    Reference: lookup_feature.py:13-44 +
+    offline/derived/strategies/SequentialJoinAsDerivation.scala:44-167.
+    """
+
+    name: str
+    base_feature: str  # joined column holding the lookup key (may be array)
+    expansion_anchor: str  # anchor name providing the expansion feature
+    expansion_feature: str
+    aggregation: str = "UNION"  # SUM|AVG|MAX|MIN|UNION|LATEST|FIRST|ELEMENTWISE_*
+
+
+@dataclass
+class ObservationSettings:
+    """Observation-side settings (settings.py:32-66)."""
+
+    keys: list
+    timestamp_col: str
+    timestamp_format: str = "epoch"
+    simulate_time_delay: float = 0.0  # seconds, shifts every window by +delay

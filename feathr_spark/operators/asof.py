@@ -1,0 +1,169 @@
+"""Point-in-time (as-of) join.
+
+For every observation row, fetch the requested fact columns from the
+latest fact row with ``fact_ts <= obs_ts - delay`` for the same entity
+key (optionally within ``tolerance`` seconds) — the "closest from the
+past" semantics of the reference's point-in-time join
+(docs/concepts/point-in-time-join.md:19-77). Rows with no match keep
+nulls (left outer); null observation keys never match.
+
+Strategies (same pair as the SWA engine):
+
+- ``union`` (default, pure JVM): union obs+fact rows on (key, ts),
+  compute ``last(value, ignorenulls=True)`` over
+  ``Window.partitionBy(key).orderBy(ts, is_obs)`` with an unbounded
+  preceding row frame, keep obs rows. Fact rows sort before obs rows at
+  the same timestamp, so a fact row AT the observation time is matched
+  (right-inclusive). Single shuffle + sort, whole-stage codegen.
+  Tolerance is enforced by also carrying the matched fact ts.
+
+- ``cogroup``: Arrow kernel with ``np.searchsorted``
+  (kernels.asof_indices) — used when tolerance windows make the union
+  formulation awkward or as the building block for salted skew handling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feathr_spark.functions.timestamps import to_epoch_micros
+from feathr_spark.operators import kernels
+from feathr_spark.operators.swa import _key_cols, _split_null_keys, _with_keys_ts
+
+MICROS = 1_000_000
+
+
+def asof_join(
+    obs: DataFrame,
+    fact: DataFrame,
+    obs_keys: Sequence[str],
+    fact_keys: Sequence[str],
+    obs_ts: str,
+    fact_ts: str,
+    value_cols: Sequence[str],
+    obs_ts_format: str = "epoch",
+    fact_ts_format: str = "epoch",
+    delay: float = 0.0,
+    tolerance: Optional[float] = None,
+    strategy: str = "union",
+    suffix: str = "",
+) -> DataFrame:
+    """Left as-of join: obs columns + ``value_cols`` from the matched fact row.
+
+    ``value_cols`` may be SQL expressions aliased ``expr AS name``; plain
+    column names pass through. ``suffix`` is appended to output names to
+    avoid clashes.
+    """
+    n_keys = len(obs_keys)
+    delay_us = int(round(delay * MICROS))
+    tol_us = None if tolerance is None else int(round(tolerance * MICROS))
+
+    obs2 = _with_keys_ts(obs, obs_keys, obs_ts, obs_ts_format)
+    fact2 = _with_keys_ts(fact, fact_keys, fact_ts, fact_ts_format)
+    cond = F.col("__ts").isNotNull()
+    for c in _key_cols(n_keys):
+        cond = cond & F.col(c).isNotNull()
+    fact2 = fact2.where(cond)
+    obs_main, obs_nulls = _split_null_keys(obs2, n_keys)
+
+    # project fact values
+    out_names = []
+    vexprs = []
+    for i, vc in enumerate(value_cols):
+        low = vc.lower()
+        if " as " in low:
+            expr_part = vc[: low.rindex(" as ")]
+            name = vc[low.rindex(" as ") + 4 :].strip()
+        else:
+            expr_part, name = vc, vc
+        out_names.append(name + suffix)
+        vexprs.append(F.expr(expr_part).alias(f"__v{i}"))
+    fact_proj = fact2.select(*_key_cols(n_keys), F.col("__ts"), *vexprs)
+    vcols = [f"__v{i}" for i in range(len(value_cols))]
+    vtypes = {f.name: f.dataType for f in fact_proj.schema.fields}
+
+    if strategy == "union":
+        joined = _asof_union(obs_main, fact_proj, n_keys, vcols, delay_us, tol_us)
+    elif strategy == "cogroup":
+        joined = _asof_cogroup(obs_main, fact_proj, n_keys, vcols, vtypes,
+                               obs.schema, out_names, delay_us, tol_us)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if strategy == "union":
+        for vcol, name in zip(vcols, out_names):
+            joined = joined.withColumnRenamed(vcol, name)
+        joined = joined.drop(*[c for c in joined.columns if c.startswith("__")])
+
+    nulls_out = obs_nulls.drop(*_key_cols(n_keys), "__ts")
+    for vcol, name in zip(vcols, out_names):
+        nulls_out = nulls_out.withColumn(name, F.lit(None).cast(vtypes[vcol]))
+    return joined.unionByName(nulls_out)
+
+
+def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
+    kcols = _key_cols(n_keys)
+    obs_u = obs.withColumn("__is_obs", F.lit(1)) \
+        .withColumn("__ts_eff", F.col("__ts") - F.lit(delay_us))
+    fact_u = fact_proj.withColumn("__is_obs", F.lit(0)) \
+        .withColumn("__ts_eff", F.col("__ts")).withColumn("__fact_ts", F.col("__ts"))
+    u = obs_u.unionByName(fact_u, allowMissingColumns=True)
+    # pack the fact payload into one struct so the matched ROW is picked
+    # atomically (per-column last-non-null would mix values across rows)
+    u = u.withColumn(
+        "__row",
+        F.when(F.col("__is_obs") == 0,
+               F.struct(*[F.col(c) for c in vcols], F.col("__fact_ts"))),
+    )
+    # fact rows (is_obs=0) order before obs rows at the same effective ts
+    # -> a fact row exactly at obs_ts - delay is visible (right-inclusive)
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col("__ts_eff"), F.col("__is_obs"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = u.withColumn("__row", F.last("__row", ignorenulls=True).over(w))
+    out = out.where(F.col("__is_obs") == 1)
+    matched = F.col("__row").isNotNull()
+    if tol_us is not None:
+        matched = matched & (F.col("__row.__fact_ts") > (F.col("__ts_eff") - F.lit(tol_us)))
+    for vcol in vcols:
+        out = out.withColumn(vcol, F.when(matched, F.col(f"__row.{vcol}")))
+    return out
+
+
+def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
+                  delay_us, tol_us):
+    kcols = _key_cols(n_keys)
+    obs_out_cols = [f.name for f in obs_schema.fields]
+    out_fields = list(obs_schema.fields) + [
+        T.StructField(name, vtypes[vcol]) for vcol, name in zip(vcols, out_names)
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def kernel(obs_pdf: pd.DataFrame, fact_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(obs_pdf) == 0:
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in out_schema.fields})
+        result = obs_pdf[obs_out_cols].copy()
+        obs_ts = obs_pdf["__ts"].to_numpy(dtype=np.int64)
+        if len(fact_pdf) == 0:
+            for name in out_names:
+                result[name] = None
+            return result
+        order = np.argsort(fact_pdf["__ts"].to_numpy(dtype=np.int64), kind="stable")
+        fts = fact_pdf["__ts"].to_numpy(dtype=np.int64)[order]
+        idx, ok = kernels.asof_indices(fts, obs_ts, delay_us, tol_us)
+        for vcol, name in zip(vcols, out_names):
+            vals = fact_pdf[vcol].to_numpy(dtype=object)[order]
+            picked = vals[idx]
+            picked[~ok] = None
+            result[name] = picked
+        return result
+
+    return obs.groupBy(*kcols).cogroup(fact_proj.groupBy(*kcols)).applyInPandas(kernel, out_schema)

@@ -1,0 +1,245 @@
+"""Vectorized numpy/pandas merge kernels for the as-of / sliding-window join.
+
+These run inside cogrouped ``applyInPandas`` (Arrow-batched, one call per
+entity-key group) and are the vectorized replacement for the reference's
+row-at-a-time sorted-merge iterator
+(feathr-impl/.../swj/join/SlidingWindowJoinIterator.scala:59-124):
+
+- window bounds ``(t_obs - width - delay, t_obs - delay]`` via
+  ``np.searchsorted`` (the vectorized analogue of
+  moveStartIndex/moveEndIndex, SlidingWindowJoinIterator.scala:177-220)
+- SUM/COUNT/AVG via float64 prefix sums (the vectorized analogue of the
+  incremental agg/deagg path, :252-271) — O(n + q) per group
+- MIN/MAX via a sparse table (O(n log n) build, O(1) per query)
+- LATEST via a last-valid-index scan; TIMESINCE via the sorted tail
+
+Determinism: fact rows are sorted by (ts) with a stable sort, and all
+float accumulation is float64 prefix sums over that order, so results
+are reproducible given the same input rows per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# low-level primitives
+# ---------------------------------------------------------------------------
+
+
+def window_bounds(fact_ts: np.ndarray, obs_ts: np.ndarray, width_us: int, delay_us: int):
+    """Index ranges [lo, hi) into ts-sorted ``fact_ts`` for each obs time.
+
+    Window is left-exclusive / right-inclusive:
+    ``fact_ts > t - width - delay  AND  fact_ts <= t - delay``.
+    """
+    lo = np.searchsorted(fact_ts, obs_ts - width_us - delay_us, side="right")
+    hi = np.searchsorted(fact_ts, obs_ts - delay_us, side="right")
+    return lo, hi
+
+
+def _prefix_sum_count(v: np.ndarray):
+    """(cumulative sum of non-null, cumulative count of non-null), each
+    length n+1 with a leading 0."""
+    m = ~np.isnan(v)
+    cs = np.zeros(len(v) + 1, dtype=np.float64)
+    np.cumsum(np.where(m, v, 0.0), out=cs[1:])
+    cn = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(m, out=cn[1:])
+    return cs, cn
+
+
+class SparseTable:
+    """Range-min/max over arbitrary [lo, hi) intervals, NaN-skipping."""
+
+    def __init__(self, v: np.ndarray, op):
+        self.op = op  # np.fmin or np.fmax (NaN-ignoring)
+        self.levels = [np.asarray(v, dtype=np.float64)]
+        n = len(v)
+        k = 1
+        while (1 << k) <= n:
+            prev = self.levels[-1]
+            half = 1 << (k - 1)
+            self.levels.append(self.op(prev[: n - (1 << k) + 1], prev[half : n - half + 1]))
+            k += 1
+
+    def query(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """Vectorized query; empty intervals (hi<=lo) yield NaN."""
+        out = np.full(len(lo), np.nan)
+        length = hi - lo
+        nonempty = length > 0
+        if not nonempty.any():
+            return out
+        ks = np.zeros(len(lo), dtype=np.int64)
+        ks[nonempty] = np.floor(np.log2(length[nonempty])).astype(np.int64)
+        for k in np.unique(ks[nonempty]):
+            sel = nonempty & (ks == k)
+            lv = self.levels[k]
+            a = lv[lo[sel]]
+            b = lv[hi[sel] - (1 << int(k))]
+            out[sel] = self.op(a, b)
+        return out
+
+
+def _last_valid_index(valid: np.ndarray) -> np.ndarray:
+    """lvi[i] = largest j <= i with valid[j], else -1."""
+    idx = np.where(valid, np.arange(len(valid)), -1)
+    return np.maximum.accumulate(idx) if len(idx) else idx
+
+
+# ---------------------------------------------------------------------------
+# per-aggregate window evaluation (all inputs sorted by fact ts)
+# ---------------------------------------------------------------------------
+
+
+def agg_sum(v, lo, hi):
+    cs, cn = _prefix_sum_count(v)
+    n = cn[hi] - cn[lo]
+    s = cs[hi] - cs[lo]
+    return np.where(n > 0, s, np.nan)
+
+
+def agg_avg(v, lo, hi):
+    cs, cn = _prefix_sum_count(v)
+    n = cn[hi] - cn[lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(n > 0, (cs[hi] - cs[lo]) / n, np.nan)
+
+
+def agg_count(v, lo, hi):
+    """COUNT follows the reference rewrite (SlidingWindowFeatureUtils.scala:184-188):
+    the metric arrives already rewritten to 1/0/null, so COUNT == SUM of it."""
+    return agg_sum(v, lo, hi)
+
+
+def agg_min(v, lo, hi):
+    return SparseTable(v, np.fmin).query(lo, hi)
+
+
+def agg_max(v, lo, hi):
+    return SparseTable(v, np.fmax).query(lo, hi)
+
+
+def agg_latest(v, valid, lo, hi):
+    """Last non-null value in the window (LatestAggregate.scala)."""
+    lvi = _last_valid_index(valid)
+    out_idx = np.full(len(lo), -1, dtype=np.int64)
+    nonempty = hi > 0
+    out_idx[nonempty] = lvi[hi[nonempty] - 1]
+    ok = (out_idx >= lo) & (out_idx >= 0)
+    return out_idx, ok
+
+
+def agg_timesince(fact_ts, obs_ts, lo, hi):
+    """Seconds between obs time and the latest fact event in the window
+    (TimesinceAggregate.scala keeps the max window timestamp)."""
+    out = np.full(len(lo), np.nan)
+    nonempty = hi > lo
+    out[nonempty] = (obs_ts[nonempty] - fact_ts[hi[nonempty] - 1]) / 1e6
+    return out
+
+
+def agg_count_distinct(codes, lo, hi):
+    """Exact distinct count of non-null metric values per window.
+
+    ``codes``: factorized int codes, -1 for null. Per-obs-row loop with a
+    vectorized inner unique — the one aggregate without a prefix-sum
+    form; the scalable alternative is APPROX_COUNT_DISTINCT on the
+    union-window path.
+    """
+    out = np.full(len(lo), np.nan)
+    for i in range(len(lo)):
+        if hi[i] > lo[i]:
+            c = codes[lo[i] : hi[i]]
+            c = c[c >= 0]
+            if len(c):
+                out[i] = len(np.unique(c))
+            elif hi[i] > lo[i]:
+                out[i] = np.nan  # rows exist but metric all-null -> null
+    return out
+
+
+def agg_pooling(arrs, lo, hi, op: str):
+    """Element-wise pooling over array-valued metric (MaxPooling etc.).
+
+    ``arrs``: object ndarray of float arrays (or None). Returns an object
+    array of lists (or None).
+    """
+    fn = {"MAX_POOLING": np.nanmax, "MIN_POOLING": np.nanmin,
+          "SUM_POOLING": np.nansum, "AVG_POOLING": np.nanmean}[op]
+    out = np.full(len(lo), None, dtype=object)
+    for i in range(len(lo)):
+        vs = [a for a in arrs[lo[i] : hi[i]] if a is not None and len(a)]
+        if vs:
+            out[i] = fn(np.stack([np.asarray(a, dtype=np.float64) for a in vs]), axis=0).tolist()
+    return out
+
+
+def agg_grouped(codes, groups, v, lo, hi, agg: str, limit):
+    """GroupBy-within-window: per obs row, aggregate metric per group
+    value, emit array<struct<group,value>> sorted by value desc, top-K.
+
+    Reference: GroupBySpec (SlidingWindowDataDef.scala:63-65) +
+    takeTopK (SlidingWindowJoinIterator.scala:559-584).
+    """
+    n_groups = len(groups)
+    out = np.full(len(lo), None, dtype=object)
+    valid = ~np.isnan(v)
+    for i in range(len(lo)):
+        s, e = lo[i], hi[i]
+        if e <= s:
+            continue
+        c = codes[s:e]
+        vv = v[s:e]
+        m = (c >= 0) & valid[s:e]
+        if not m.any():
+            continue
+        c, vv = c[m], vv[m]
+        sums = np.bincount(c, weights=vv, minlength=n_groups)
+        cnts = np.bincount(c, minlength=n_groups)
+        present = cnts > 0
+        if agg in ("SUM", "COUNT"):
+            vals = sums
+        elif agg == "AVG":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = np.where(present, sums / np.maximum(cnts, 1), np.nan)
+        elif agg in ("MIN", "MAX"):
+            # fancy-assignment: last write per group wins, so order the
+            # writes so the extremum lands last
+            order = np.argsort(vv, kind="stable")
+            if agg == "MIN":
+                order = order[::-1]
+            vals = np.full(n_groups, np.nan)
+            vals[c[order]] = vv[order]
+        else:
+            raise ValueError(f"grouped SWA does not support {agg}")
+        gidx = np.nonzero(present)[0]
+        pairs = sorted(
+            ((groups[g], float(vals[g])) for g in gidx),
+            key=lambda t: (-t[1], t[0]),
+        )
+        if limit:
+            pairs = pairs[:limit]
+        out[i] = [{"group": g, "value": val} for g, val in pairs]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# as-of join kernel helper
+# ---------------------------------------------------------------------------
+
+
+def asof_indices(fact_ts: np.ndarray, obs_ts: np.ndarray, delay_us: int = 0,
+                 tolerance_us: int | None = None):
+    """Latest fact index with ts <= obs_ts - delay (and within tolerance).
+
+    Returns (idx, ok): idx into ts-sorted fact, ok mask of matches.
+    """
+    hi = np.searchsorted(fact_ts, obs_ts - delay_us, side="right")
+    idx = hi - 1
+    ok = idx >= 0
+    if tolerance_us is not None:
+        safe = np.maximum(idx, 0)
+        ok &= fact_ts[safe] > (obs_ts - delay_us - tolerance_us)
+    return np.maximum(idx, 0), ok

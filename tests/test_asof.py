@@ -1,0 +1,77 @@
+"""As-of (point-in-time) join tests incl. DuckDB ASOF JOIN oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from feathr_spark.datagen import corpus
+from feathr_spark.operators.asof import asof_join
+
+STRATEGIES = ["union", "cogroup"]
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_golden(spark, strategy):
+    obs = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "a", 200.0), (3, "b", 150.0), (4, "c", 100.0), (5, None, 100.0)],
+        "obs_id long, k string, ts double",
+    )
+    fact = spark.createDataFrame(
+        [("a", 50.0, 1.0, "x"), ("a", 100.0, 2.0, "y"), ("a", 150.0, 3.0, "x"),
+         ("b", 149.0, 10.0, "x"), ("b", 150.0, None, "y")],
+        "k string, ts double, v double, cat string",
+    )
+    out = asof_join(obs, fact, ["k"], ["k"], "ts", "ts",
+                    ["v as last_v", "cat as last_cat"], strategy=strategy)
+    rows = {r["obs_id"]: r for r in out.collect()}
+    assert rows[1]["last_v"] == 2.0 and rows[1]["last_cat"] == "y"  # ts==obs ts inclusive
+    assert rows[2]["last_v"] == 3.0 and rows[2]["last_cat"] == "x"
+    # latest ROW for b@150 is (150, null, 'y') -> the row is picked atomically
+    assert rows[3]["last_v"] is None and rows[3]["last_cat"] == "y"
+    assert rows[4]["last_v"] is None and rows[5]["last_v"] is None
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_tolerance_and_delay(spark, strategy):
+    obs = spark.createDataFrame([(1, "a", 100.0), (2, "a", 500.0)],
+                                "obs_id long, k string, ts double")
+    fact = spark.createDataFrame([("a", 90.0, 1.0), ("a", 100.0, 2.0)],
+                                 "k string, ts double, v double")
+    out = asof_join(obs, fact, ["k"], ["k"], "ts", "ts", ["v"],
+                    delay=5.0, tolerance=50.0, strategy=strategy)
+    rows = {r["obs_id"]: r for r in out.collect()}
+    # obs1 effective ts = 95: row@100 invisible, row@90 within tolerance
+    assert rows[1]["v"] == 1.0
+    # obs2 effective ts = 495: latest row@100 is outside tolerance 50
+    assert rows[2]["v"] is None
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_duckdb_oracle(spark, strategy):
+    """Cross-check against DuckDB's native ASOF JOIN on the corpus."""
+    fact, obs = corpus(spark, sf=0.0005)
+    out = asof_join(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                    ["n_tok as asof_n_tok", "source as asof_source"],
+                    strategy=strategy).orderBy("obs_id").toPandas()
+
+    fpd = fact.select("doc_id", "event_ts", "n_tok", "source").toPandas()
+    opd = obs.toPandas()
+    con = duckdb.connect()
+    con.register("f", fpd)
+    con.register("o", opd)
+    oracle = con.execute("""
+        SELECT o.obs_id, f.n_tok AS asof_n_tok, f.source AS asof_source
+        FROM o ASOF LEFT JOIN f
+          ON o.doc_id = f.doc_id AND f.event_ts <= o.ts
+        ORDER BY o.obs_id
+    """).df()
+    got = out.sort_values("obs_id").reset_index(drop=True)
+    assert len(got) == len(oracle)
+    a = got["asof_n_tok"].astype("float").fillna(-1).to_numpy()
+    b = oracle["asof_n_tok"].astype("float").fillna(-1).to_numpy()
+    assert np.array_equal(a, b)
+    assert (got["asof_source"].fillna("∅").to_numpy()
+            == oracle["asof_source"].fillna("∅").to_numpy()).all()

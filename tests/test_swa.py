@@ -1,0 +1,238 @@
+"""SWA join: golden window-boundary tests (reference semantics:
+SlidingWindowJoinIterator.scala:177-220), brute-force oracle
+cross-check on the synthesized corpus, strategy equivalence, leakage.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feathr_spark import SWAFeature, WindowSpec
+from feathr_spark.datagen import corpus
+from feathr_spark.operators.swa import join_window_agg_features
+
+STRATEGIES = ["union", "cogroup"]
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    obs = spark.createDataFrame(
+        [
+            (1, "a", 100.0, 0.5),
+            (2, "a", 200.0, 0.6),
+            (3, "b", 150.0, 0.7),
+            (4, "c", 100.0, 0.8),  # key with no fact rows
+            (5, None, 100.0, 0.9),  # null key
+            (6, "a", 100.0, 1.0),  # duplicate (key, ts)
+        ],
+        "obs_id long, k string, ts double, label double",
+    )
+    fact = spark.createDataFrame(
+        [
+            ("a", 50.0, 1.0, "x"),
+            ("a", 100.0, 2.0, "y"),  # exactly at obs ts (right-inclusive)
+            ("a", 150.0, 3.0, "x"),
+            ("a", 0.0, 7.0, "z"),  # exactly window before obs1 (left-exclusive)
+            ("b", 149.0, 10.0, "x"),
+            ("b", 150.0, None, "y"),  # null metric
+        ],
+        "k string, ts double, v double, cat string",
+    )
+    return obs, fact
+
+
+FEATS = [
+    SWAFeature("v_sum", "SUM", "v", WindowSpec(100)),
+    SWAFeature("v_cnt", "COUNT", "v", WindowSpec(100)),
+    SWAFeature("v_avg", "AVG", "v", WindowSpec(100)),
+    SWAFeature("v_min", "MIN", "v", WindowSpec(100)),
+    SWAFeature("v_max", "MAX", "v", WindowSpec(100)),
+    SWAFeature("v_latest", "LATEST", "v", WindowSpec(100)),
+    SWAFeature("v_timesince", "TIMESINCE", "v", WindowSpec(100)),
+    SWAFeature("v_cd", "COUNT_DISTINCT", "cat", WindowSpec(100)),
+    SWAFeature("v_sum_x", "SUM", "v", WindowSpec(100), filter="cat = 'x'"),
+    SWAFeature("v_sum_delay", "SUM", "v", WindowSpec(100, delay=50)),
+]
+
+GOLDEN = {
+    # obs 1: key a @100, window (0,100]: rows 50->1.0, 100->2.0 (0->7.0 excluded)
+    1: dict(v_sum=3.0, v_cnt=2, v_avg=1.5, v_min=1.0, v_max=2.0, v_latest=2.0,
+            v_timesince=0.0, v_cd=2, v_sum_x=1.0, v_sum_delay=1.0),
+    # obs 2: key a @200, window (100,200]: 150->3.0 only
+    2: dict(v_sum=3.0, v_cnt=1, v_avg=3.0, v_min=3.0, v_max=3.0, v_latest=3.0,
+            v_timesince=50.0, v_cd=1, v_sum_x=3.0, v_sum_delay=3.0),
+    # obs 3: key b @150, window (50,150]: 149->10.0, 150->null
+    3: dict(v_sum=10.0, v_cnt=1, v_avg=10.0, v_min=10.0, v_max=10.0, v_latest=10.0,
+            v_timesince=0.0, v_cd=2, v_sum_x=10.0, v_sum_delay=10.0),
+    4: dict(v_sum=None, v_cnt=None, v_avg=None, v_min=None, v_max=None, v_latest=None,
+            v_timesince=None, v_cd=None, v_sum_x=None, v_sum_delay=None),
+    5: dict(v_sum=None, v_cnt=None, v_avg=None, v_min=None, v_max=None, v_latest=None,
+            v_timesince=None, v_cd=None, v_sum_x=None, v_sum_delay=None),
+    6: dict(v_sum=3.0, v_cnt=2, v_avg=1.5, v_min=1.0, v_max=2.0, v_latest=2.0,
+            v_timesince=0.0, v_cd=2, v_sum_x=1.0, v_sum_delay=1.0),
+}
+# v_sum_delay for obs1 (@100, w=100 d=50): window (-50, 50]: rows 0->7.0, 50->1.0 => 8.0
+GOLDEN[1]["v_sum_delay"] = 8.0
+# obs2 (@200): window (50,150]: 100->2.0, 150->3.0 => 5.0
+GOLDEN[2]["v_sum_delay"] = 5.0
+# obs3 (b @150): window (0,100]: none => null
+GOLDEN[3]["v_sum_delay"] = None
+GOLDEN[6]["v_sum_delay"] = 8.0
+
+
+def _check_golden(rows):
+    for r in rows:
+        exp = GOLDEN[r["obs_id"]]
+        for name, want in exp.items():
+            got = r[name]
+            if want is None:
+                assert got is None, f"obs {r['obs_id']} {name}: want null got {got}"
+            else:
+                assert got is not None and math.isclose(float(got), want, rel_tol=1e-9), \
+                    f"obs {r['obs_id']} {name}: want {want} got {got}"
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_swa_golden(toy, strategy):
+    obs, fact = toy
+    out = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", FEATS,
+                                   strategy=strategy)
+    _check_golden(out.collect())
+
+
+def test_strategies_agree_on_corpus(spark):
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [
+        SWAFeature("tok_sum_1d", "SUM", "n_tok", WindowSpec(86400)),
+        SWAFeature("ev_cnt_7d", "COUNT", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("tok_avg_7d", "AVG", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("tok_max_1d", "MAX", "n_tok", WindowSpec(86400)),
+        SWAFeature("latest_src_7d", "LATEST", "source", WindowSpec(7 * 86400)),
+        SWAFeature("ts_since", "TIMESINCE", "event_ts", WindowSpec(30 * 86400)),
+        SWAFeature("src_cd_7d", "COUNT_DISTINCT", "source", WindowSpec(7 * 86400)),
+        SWAFeature("web_cnt_7d", "COUNT", "n_tok", WindowSpec(7 * 86400), filter="source = 'web'"),
+    ]
+    kwargs = dict(obs_keys=["doc_id"], fact_keys=["doc_id"], obs_ts="ts",
+                  fact_ts="event_ts", features=feats)
+    a = join_window_agg_features(obs, fact, strategy="union", **kwargs) \
+        .orderBy("obs_id").toPandas().set_index("obs_id")
+    b = join_window_agg_features(obs, fact, strategy="cogroup", **kwargs) \
+        .orderBy("obs_id").toPandas().set_index("obs_id")
+    assert len(a) == len(b) == obs.count()
+    for f in feats:
+        av, bv = a[f.name], b[f.name]
+        if av.dtype == object:
+            assert (av.fillna("∅") == bv.fillna("∅")).all(), f.name
+        else:
+            assert np.allclose(av.astype(float).fillna(-1e18),
+                               bv.astype(float).fillna(-1e18), rtol=1e-9), f.name
+
+
+def test_bruteforce_oracle(spark):
+    """Per-row pandas recompute — order-independent ground truth."""
+    fact, obs = corpus(spark, sf=0.0005)
+    w, d = 3 * 86400, 3600
+    feats = [
+        SWAFeature("s", "SUM", "n_tok", WindowSpec(w, d)),
+        SWAFeature("c", "COUNT", "n_tok", WindowSpec(w, d)),
+        SWAFeature("mn", "MIN", "n_tok", WindowSpec(w, d)),
+        SWAFeature("mx", "MAX", "n_tok", WindowSpec(w, d)),
+    ]
+    got = join_window_agg_features(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                                   feats, strategy="cogroup") \
+        .orderBy("obs_id").toPandas()
+    fpd = fact.select("doc_id", "event_ts", "n_tok").toPandas()
+    opd = obs.toPandas().sort_values("obs_id").reset_index(drop=True)
+    by_key = dict(tuple(fpd.groupby("doc_id")))
+    for _, r in opd.sample(n=min(300, len(opd)), random_state=0).iterrows():
+        g = got[got.obs_id == r.obs_id].iloc[0]
+        if r.doc_id is None or pd.isna(r.doc_id) or r.doc_id not in by_key:
+            assert pd.isna(g.s) and pd.isna(g.c)
+            continue
+        kf = by_key[r.doc_id]
+        in_w = kf[(kf.event_ts > r.ts - w - d) & (kf.event_ts <= r.ts - d)]
+        if len(in_w) == 0:
+            assert pd.isna(g.s), f"obs {r.obs_id}"
+        else:
+            assert math.isclose(g.s, in_w.n_tok.sum(), rel_tol=1e-9), f"obs {r.obs_id}"
+            assert g.c == len(in_w)
+            assert g.mn == in_w.n_tok.min() and g.mx == in_w.n_tok.max()
+
+
+def test_no_temporal_leakage(spark):
+    """Mutating every future fact row must not change any feature."""
+    fact, obs = corpus(spark, sf=0.0003)
+    feats = [SWAFeature("s", "SUM", "n_tok", WindowSpec(86400, delay=3600))]
+    base = join_window_agg_features(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                                    feats).orderBy("obs_id").toPandas()
+    # push every fact row's metric to an absurd value when it is in the
+    # "future" of every obs for its doc: join-free approximation — shift
+    # all fact timestamps forward past every window; features must go null
+    from pyspark.sql import functions as F
+    shifted = fact.withColumn("event_ts", F.col("event_ts") + F.lit(10**9))
+    leaked = join_window_agg_features(obs, shifted, ["doc_id"], ["doc_id"], "ts",
+                                      "event_ts", feats).orderBy("obs_id").toPandas()
+    assert leaked["s"].isna().all()
+    assert len(base) == len(leaked)
+
+
+def test_grouped_topk_and_pooling(spark, toy):
+    obs, fact = toy
+    feats = [
+        SWAFeature("by_cat", "SUM", "v", WindowSpec(1000), group_by="cat", limit=2),
+        SWAFeature("cat_cnt", "COUNT", "v", WindowSpec(1000), group_by="cat"),
+    ]
+    out = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats) \
+        .orderBy("obs_id").collect()
+    r2 = next(r for r in out if r["obs_id"] == 2)  # key a @200: all 4 rows in window
+    pairs = {p["group"]: p["value"] for p in r2["by_cat"]}
+    # sums: z=7 (t=0), x=1+3=4, y=2 -> top-2 = z,x
+    assert pairs == {"z": 7.0, "x": 4.0}
+    cnt = {p["group"]: p["value"] for p in r2["cat_cnt"]}
+    assert cnt == {"x": 2.0, "y": 1.0, "z": 1.0}
+
+
+def test_pooling(spark):
+    obs = spark.createDataFrame([(1, "a", 100.0)], "obs_id long, k string, ts double")
+    fact = spark.createDataFrame(
+        [("a", 10.0, [1.0, 5.0]), ("a", 20.0, [3.0, 2.0]), ("a", 30.0, None)],
+        "k string, ts double, vec array<double>",
+    )
+    feats = [
+        SWAFeature("vmax", "MAX_POOLING", "vec", WindowSpec(100)),
+        SWAFeature("vsum", "SUM_POOLING", "vec", WindowSpec(100)),
+        SWAFeature("vavg", "AVG_POOLING", "vec", WindowSpec(100)),
+    ]
+    r = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats).first()
+    assert r["vmax"] == [3.0, 5.0]
+    assert r["vsum"] == [4.0, 7.0]
+    assert r["vavg"] == [2.0, 3.5]
+
+
+def test_salted_cogroup_matches_unsalted(spark):
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [
+        SWAFeature("s", "SUM", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("m", "MAX", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("lt", "LATEST", "n_tok", WindowSpec(7 * 86400)),
+    ]
+    kwargs = dict(obs_keys=["doc_id"], fact_keys=["doc_id"], obs_ts="ts",
+                  fact_ts="event_ts", features=feats, strategy="cogroup")
+    plain = join_window_agg_features(obs, fact, **kwargs).orderBy("obs_id").toPandas()
+    salted = join_window_agg_features(obs, fact, hot_key_threshold=50, salt_buckets=4,
+                                      **kwargs).orderBy("obs_id").toPandas()
+    for c in ("s", "m", "lt"):
+        assert np.allclose(plain[c].astype(float).fillna(-1),
+                           salted[c].astype(float).fillna(-1), rtol=1e-9), c
+
+
+def test_defaults_and_simulate_delay(toy):
+    obs, fact = toy
+    feats = [SWAFeature("v_sum", "SUM", "v", WindowSpec(100), default=0.0)]
+    out = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats)
+    vals = {r["obs_id"]: r["v_sum"] for r in out.collect()}
+    assert vals[4] == 0.0 and vals[5] == 0.0 and vals[1] == 3.0
