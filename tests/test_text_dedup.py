@@ -1,0 +1,139 @@
+"""Text analysis + dedup operators over the driver documents table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_spark.operators import text as TX
+from feathr_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_matches_duckdb(docs, sf_dir):
+    got = docs.select("doc_id", TX.token_count("text").alias("n_tokens")) \
+        .orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT doc_id, len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n
+        FROM '{sf_dir}/documents.parquet' ORDER BY doc_id
+    """).df()
+    # duckdb splits on single space; our regex splits on \s+ — normalize docs
+    # have single-space text, so counts agree
+    assert (got["n_tokens"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2 done.")], "id int, text string")
+    r = df.select(TX.token_count("text", "bpe").alias("n")).first()
+    # pieces: Hello , world ! x 2 done . -> 8
+    assert r["n"] == 8
+
+
+def test_quality_and_language(docs):
+    out = TX.with_quality_features(docs).withColumn("lang_det", TX.detect_language("text")) \
+        .withColumn("q", TX.quality_score("text"))
+    r = out.select("n_words", "uniq_word_ratio", "stopword_ratio", "q", "lang_det").limit(50).collect()
+    for row in r:
+        assert row["n_words"] > 0
+        assert 0 <= row["uniq_word_ratio"] <= 1
+        assert 0 <= row["q"] <= 1.0001
+
+
+def test_fingerprint_and_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "the QUICK   brown fox!"), (3, "different text here")],
+        "id int, text string",
+    )
+    fp = df.select("id", TX.fingerprint("text").alias("fp")).collect()
+    fps = {r["id"]: r["fp"] for r in fp}
+    assert fps[1] == fps[2] != fps[3]  # normalization-invariant
+    sh = df.select(TX.shingles("text", 3).alias("s")).collect()
+    assert sh[0]["s"] == ["the quick brown", "quick brown fox"]
+    short = spark.createDataFrame([(1, "two words")], "id int, text string") \
+        .select(TX.shingles("text", 3).alias("s")).first()
+    assert short["s"] == []
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same   Text!"), (3, "unique"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 1
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the river bank every morning")
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "fast")),          # near-dup of 1
+        (3, base.replace("morning", "evening")),     # near-dup of 1
+        (4, "completely different content about spark window aggregation "
+            "engines partitioning shuffles and catalyst optimizer internals"),
+        (5, "yet another unrelated document mentioning tokenizers embeddings "
+            "and large scale distributed training data pipelines for models"),
+    ]
+    return rows, pytest.importorskip("pyspark") and None
+
+
+def test_minhash_lsh_dedup(spark, near_dup_corpus):
+    rows, _ = near_dup_corpus
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["cluster_rep"]
+              for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == 4 and labels[5] == 5
+
+
+def test_minhash_signature_stability(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon zeta")],
+                               "doc_id long, text string")
+    a = minhash_signature(df).first()["minhash"]
+    b = minhash_signature(df).first()["minhash"]
+    assert a == b and len(a) == 64
+
+
+def test_ngram_jaccard_pairs(spark, near_dup_corpus):
+    rows, _ = near_dup_corpus
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, threshold=0.4).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(0.4 <= j <= 1.0 for j in pairs.values())
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_dups(spark, near_dup_corpus):
+    rows, _ = near_dup_corpus
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash(df)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert len(set(vals.values())) >= 3  # distinct docs -> distinct hashes
+    pairs = simhash_near_dup_pairs(sh, max_hamming=12).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids and (1, 3) in ids
+    assert all(p[0] < p[1] for p in ids)
+
+
+def test_simhash_deterministic_across_runs(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    assert simhash(df).first()["simhash"] == simhash(df).first()["simhash"]
