@@ -401,7 +401,7 @@ def q_simhash_pairs(spark, sf_dir):
     from feathr_spark.operators.dedup import simhash, simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(simhash(docs.select("doc_id", "text")), max_hamming=8)
+    return simhash_near_dup_pairs(simhash(docs.select("doc_id", "text")), max_hamming=3)
 
 
 def q_knn_bruteforce(spark, sf_dir):

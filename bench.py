@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, ...}
+
+The flagship entry (``corpus_feature_vectors``) is the BASELINE.json
+north-rule job: SWA + as-of feature vectors over the synthesized
+pre-tokenized corpus ``(doc_id, tokens, n_tok, source, event_ts)`` —
+its throughput is reported as ``rows_per_sec``.  Scaling-efficiency
+evidence (same job at local[8] vs local[32]) lives in
+``BENCH/run_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# representative subset of __spark_entry__.queries(): every operator
+# family, skipping only near-duplicates of already-timed paths
+HEADLINE = [
+    "swa_sum_count_avg",          # union strategy (pure JVM window frames)
+    "swa_sum_count_avg_cogroup",  # Arrow cogroup kernel, same semantics
+    "swa_latest_timesince",
+    "swa_count_distinct",
+    "swa_grouped_topk",           # grouped top-K (cogroup-only path)
+    "asof_purchase",
+    "lag_lead",
+    "sessionize",
+    "backfill",
+    "rolling_stats",
+    "tpch_q1",
+    "lookup_union_agg",
+    "derived_features",
+    "token_counts",
+    "quality_features",
+    "minhash_clusters",
+    "simhash_pairs",
+    "knn_bruteforce",
+]
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame (noop sink executes every column)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
+    """North-rule flagship: feature vectors per (doc_id, ts) over the
+    tokenized corpus — SWA battery + as-of token lookup in one job."""
+    from feathr_spark import SWAFeature, WindowSpec, asof_join, join_window_agg_features
+    from feathr_spark.datagen import corpus
+
+    fact, obs = corpus(spark, sf=sf)
+    fact = fact.cache()
+    obs = obs.cache()
+    n_obs = obs.count()
+    fact.count()
+
+    feats = [
+        SWAFeature("tok_sum_1d", "SUM", "n_tok", WindowSpec(86400)),
+        SWAFeature("seq_cnt_1d", "COUNT", "n_tok", WindowSpec(86400)),
+        SWAFeature("tok_avg_7d", "AVG", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("tok_max_7d", "MAX", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("src_cnt_7d", "COUNT_DISTINCT", "source", WindowSpec(7 * 86400)),
+        SWAFeature("web_cnt_1d", "COUNT", "n_tok", WindowSpec(86400),
+                   filter="source = 'web'"),
+    ]
+    t0 = time.monotonic()
+    # COUNT_DISTINCT routes auto -> cogroup; the Arrow kernel also wins
+    # on the zipf-hot doc_id skew (no per-row collect_set state)
+    vec = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats,
+        obs_ts_format="epoch", fact_ts_format="epoch", strategy="cogroup",
+    )
+    out = asof_join(
+        vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+        ["tokens as last_tokens", "n_tok as last_n_tok"],
+        obs_ts_format="epoch", fact_ts_format="epoch",
+    )
+    _force(out)
+    dt = time.monotonic() - t0
+    fact.unpersist()
+    obs.unpersist()
+    return dt, n_obs
+
+
+def main() -> None:
+    from feathr_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+
+    spark = get_spark(cpus=CPUS, app_name="feathr_spark_bench")
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plan, not session startup
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    flagship_sec, n_obs = corpus_feature_vectors(spark, sf)
+    timings["corpus_feature_vectors"] = round(flagship_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "entity-timestamp feature-vector pipeline, headline ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows_per_sec": round(n_obs / flagship_sec, 1),
+        "flagship_rows": n_obs,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,8 +40,12 @@ AGG_TYPES = {
 }
 
 # aggregates whose window state is order-independent and expressible as a
-# Spark SQL window frame -> eligible for the pure-JVM "union" strategy
-FRAME_AGGS = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE", "COUNT_DISTINCT"}
+# Spark SQL window frame -> eligible for the pure-JVM "union" strategy.
+# COUNT_DISTINCT is deliberately excluded: its frame form is
+# collect_set().over(rangeBetween(...)), which materializes the set per
+# row — O(rows x window) on hot keys — so auto-routing sends it to the
+# vectorized cogroup kernel instead.
+FRAME_AGGS = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE"}
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from feathr_spark.functions.timestamps import to_epoch_micros
 from feathr_spark.operators import kernels
-from feathr_spark.operators.swa import _key_cols, _split_null_keys, _with_keys_ts
+from feathr_spark.operators.swa import _isolate_null_keys, _key_cols, _with_keys_ts
 
 MICROS = 1_000_000
 
@@ -70,7 +70,7 @@ def asof_join(
     for c in _key_cols(n_keys):
         cond = cond & F.col(c).isNotNull()
     fact2 = fact2.where(cond)
-    obs_main, obs_nulls = _split_null_keys(obs2, n_keys)
+    obs_main = _isolate_null_keys(obs2, n_keys)
 
     # project fact values
     out_names = []
@@ -84,7 +84,9 @@ def asof_join(
             expr_part, name = vc, vc
         out_names.append(name + suffix)
         vexprs.append(F.expr(expr_part).alias(f"__v{i}"))
-    fact_proj = fact2.select(*_key_cols(n_keys), F.col("__ts"), *vexprs)
+    # long cast: the bucket xxhash64 must agree with the obs side's long __nk
+    fact_proj = fact2.select(*_key_cols(n_keys), F.col("__ts"),
+                             F.lit(0).cast("long").alias("__nk"), *vexprs)
     vcols = [f"__v{i}" for i in range(len(value_cols))]
     vtypes = {f.name: f.dataType for f in fact_proj.schema.fields}
 
@@ -100,11 +102,7 @@ def asof_join(
         for vcol, name in zip(vcols, out_names):
             joined = joined.withColumnRenamed(vcol, name)
         joined = joined.drop(*[c for c in joined.columns if c.startswith("__")])
-
-    nulls_out = obs_nulls.drop(*_key_cols(n_keys), "__ts")
-    for vcol, name in zip(vcols, out_names):
-        nulls_out = nulls_out.withColumn(name, F.lit(None).cast(vtypes[vcol]))
-    return joined.unionByName(nulls_out)
+    return joined
 
 
 def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
@@ -124,7 +122,7 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
     # fact rows (is_obs=0) order before obs rows at the same effective ts
     # -> a fact row exactly at obs_ts - delay is visible (right-inclusive)
     w = (
-        Window.partitionBy(*kcols)
+        Window.partitionBy(*kcols, "__nk")
         .orderBy(F.col("__ts_eff"), F.col("__is_obs"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -139,8 +137,11 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
 
 
 def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
-                  delay_us, tol_us):
+                  delay_us, tol_us, num_buckets=None):
+    """Bucketed multi-key as-of kernel (see swa._swa_cogroup: one Arrow
+    call per hash bucket of keys, per-key slices aligned inside)."""
     kcols = _key_cols(n_keys)
+    seg_cols = kcols + ["__nk"]
     obs_out_cols = [f.name for f in obs_schema.fields]
     out_fields = list(obs_schema.fields) + [
         T.StructField(name, vtypes[vcol]) for vcol, name in zip(vcols, out_names)
@@ -148,22 +149,44 @@ def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
     out_schema = T.StructType(out_fields)
 
     def kernel(obs_pdf: pd.DataFrame, fact_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(obs_pdf) == 0:
+        n = len(obs_pdf)
+        if n == 0:
             return pd.DataFrame({c.name: pd.Series(dtype="object") for c in out_schema.fields})
-        result = obs_pdf[obs_out_cols].copy()
-        obs_ts = obs_pdf["__ts"].to_numpy(dtype=np.int64)
-        if len(fact_pdf) == 0:
-            for name in out_names:
-                result[name] = None
-            return result
-        order = np.argsort(fact_pdf["__ts"].to_numpy(dtype=np.int64), kind="stable")
-        fts = fact_pdf["__ts"].to_numpy(dtype=np.int64)[order]
-        idx, ok = kernels.asof_indices(fts, obs_ts, delay_us, tol_us)
-        for vcol, name in zip(vcols, out_names):
-            vals = fact_pdf[vcol].to_numpy(dtype=object)[order]
-            picked = vals[idx]
-            picked[~ok] = None
-            result[name] = picked
+        nf = len(fact_pdf)
+        obs_ts_raw = obs_pdf["__ts"].to_numpy(dtype=np.int64)
+        fact_ts_raw = fact_pdf["__ts"].to_numpy(dtype=np.int64) if nf else np.empty(0, np.int64)
+        oc, fc = kernels.combined_codes(
+            [obs_pdf[c] for c in seg_cols], [fact_pdf[c] for c in seg_cols])
+        obs_ord = np.lexsort((obs_ts_raw, oc))
+        fact_ord = np.lexsort((fact_ts_raw, fc)) if nf else np.empty(0, np.int64)
+        oc_s, obs_ts = oc[obs_ord], obs_ts_raw[obs_ord]
+        fc_s, fts = fc[fact_ord], fact_ts_raw[fact_ord]
+        o_starts, o_ends, f_los, f_his = kernels.key_segments(oc_s, fc_s)
+
+        val_arrays = {
+            vcol: (fact_pdf[vcol].to_numpy(dtype=object)[fact_ord] if nf
+                   else np.empty(0, object))
+            for vcol in vcols
+        }
+        outs = {name: np.full(n, None, dtype=object) for name in out_names}
+        for gi in range(len(o_starts)):
+            o0, o1 = o_starts[gi], o_ends[gi]
+            fl, fh = f_los[gi], f_his[gi]
+            if fh <= fl:
+                continue
+            idx, ok = kernels.asof_indices(fts[fl:fh], obs_ts[o0:o1], delay_us, tol_us)
+            for vcol, name in zip(vcols, out_names):
+                picked = val_arrays[vcol][fl:fh][idx].copy()
+                picked[~ok] = None
+                outs[name][o0:o1] = picked
+
+        result = obs_pdf.iloc[obs_ord][obs_out_cols].reset_index(drop=True)
+        for name in out_names:
+            result[name] = outs[name]
         return result
 
-    return obs.groupBy(*kcols).cogroup(fact_proj.groupBy(*kcols)).applyInPandas(kernel, out_schema)
+    b = num_buckets or max(obs.sparkSession.sparkContext.defaultParallelism * 4, 32)
+    bucket = F.pmod(F.xxhash64(*seg_cols), F.lit(b)).cast("int")
+    obs_b = obs.withColumn("__b", bucket)
+    fact_b = fact_proj.withColumn("__b", bucket)
+    return obs_b.groupBy("__b").cogroup(fact_b.groupBy("__b")).applyInPandas(kernel, out_schema)

@@ -62,16 +62,25 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
-                      shingle_n: int = 3, out_col: str = "minhash") -> DataFrame:
-    """array<long> MinHash signature, computed entirely JVM-side:
-    sig[j] = min over shingles s of xxhash64(s, j)."""
-    sh = shingle_hashes(text_col, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda h: F.xxhash64(h, j))),
+                      shingle_n: int = 3, out_col: str = "minhash",
+                      id_col: str = "doc_id") -> DataFrame:
+    """array<long> MinHash signature: sig[j] = min over shingles s of
+    xxhash64(s, j), computed entirely JVM-side as explode →
+    groupBy(id).agg(min(hash(s, j)) for j) — one shuffle with map-side
+    combine, so per-row work is O(|shingles| * num_hashes) exactly once
+    (a nested ``transform(sequence(...))`` form re-evaluates the shingle
+    expression per hash function — 64x blow-up at corpus scale)."""
+    sh_ex = df.select(
+        F.col(id_col).alias("__mh_id"),
+        F.explode(shingle_hashes(text_col, shingle_n)).alias("__sh"),
+    )
+    aggs = [F.min(F.xxhash64("__sh", F.lit(j))).alias(f"__s{j}") for j in range(num_hashes)]
+    sigs = (
+        sh_ex.groupBy("__mh_id").agg(*aggs)
+        .select("__mh_id", F.array(*[f"__s{j}" for j in range(num_hashes)]).alias(out_col))
     )
     # empty shingle set -> null signature (short docs never near-dup match)
-    return df.withColumn(out_col, F.when(F.size(sh) > 0, sig))
+    return df.join(sigs, df[id_col] == sigs["__mh_id"], "left").drop("__mh_id")
 
 
 def _band_buckets(df: DataFrame, sig_col: str, bands: int, rows: int,
@@ -103,23 +112,31 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str = "minhash", id_col: str = "
     bound the quadratic pair blow-up from boilerplate; truncation is
     surfaced via ``bucket_truncated``.
     """
-    b = _band_buckets(df, sig_col, bands, rows, id_col)
+    b = _band_buckets(df, sig_col, bands, rows, id_col).select(id_col, "band_id", "band_hash")
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
     b = b.withColumn("__rn", F.row_number().over(w))
     b = b.withColumn("bucket_truncated", F.col("__rn") > max_bucket).where(~F.col("bucket_truncated"))
-    left = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"),
-                    F.col(sig_col).alias("sig_a"))
-    right = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"),
-                     F.col(sig_col).alias("sig_b"))
+    # the self-join shuffle carries only (bucket key, id) — signatures
+    # (num_hashes longs each) are re-attached AFTER pair dedup, so the
+    # quadratic bucket fan-out moves ids, not kilobyte arrays
+    slim = b.select("band_id", "band_hash", id_col)
+    left = slim.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    right = slim.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
         left.join(right, on=["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    sigs = df.where(F.col(sig_col).isNotNull()).select(F.col(id_col), F.col(sig_col))
+    return (
+        pairs
+        .join(sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b")), "id_b")
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    )
 
 
 def minhash_jaccard(sig_a, sig_b):
@@ -145,13 +162,13 @@ def minhash_lsh_dedup(
     pairs (``cc_rounds`` rounds of min-label propagation — each round is
     one join; boilerplate-scale components converge geometrically)."""
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_n)
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n, id_col=id_col)
     pairs = lsh_candidate_pairs(sigs, "minhash", id_col, bands, rows)
     verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
         .select("id_a", "id_b")
     edges = verified.unionByName(
         verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    ).persist()  # reused every propagation round — never recompute the LSH DAG
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
     for _ in range(cc_rounds):
         neighbor_min = (
@@ -162,6 +179,7 @@ def minhash_lsh_dedup(
         labels = (
             labels.join(neighbor_min, on="id", how="left")
             .select("id", F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"))
+            .persist()
         )
     return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
 
@@ -229,10 +247,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
-                           id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                           id_col: str = "doc_id", max_hamming: int = 3,
+                           max_bucket: int = 2000) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via pigeonhole band
     join: split 64 bits into (max_hamming+1) bands; any pair within
-    distance must agree exactly on >= 1 band."""
+    distance must agree exactly on >= 1 band.
+
+    Note band width is 64/(max_hamming+1) bits — keep max_hamming <= 3
+    at corpus scale (4 bands x 16 bits); larger distances shrink bands
+    and the bucket join degenerates toward a cross join. Buckets larger
+    than ``max_bucket`` are truncated (rank by id) to bound the blow-up.
+    """
     n_bands = max_hamming + 1
     width = 64 // n_bands
     src = df.select(F.col(id_col), F.col(sim_col))
@@ -244,9 +269,14 @@ def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
         )
         for b in range(n_bands)
     ]
+    from pyspark.sql import Window
+
     bands = src.select(
         id_col, sim_col, F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, sim_col, "band.band_id", "band.band_val")
+    w = Window.partitionBy("band_id", "band_val").orderBy(id_col)
+    bands = bands.withColumn("__rn", F.row_number().over(w)) \
+        .where(F.col("__rn") <= max_bucket).drop("__rn")
     left = bands.select("band_id", "band_val", F.col(id_col).alias("id_a"),
                         F.col(sim_col).alias("sim_a"))
     right = bands.select("band_id", "band_val", F.col(id_col).alias("id_b"),

@@ -226,6 +226,55 @@ def agg_grouped(codes, groups, v, lo, hi, agg: str, limit):
 
 
 # ---------------------------------------------------------------------------
+# multi-key segmentation (bucketed cogroup)
+# ---------------------------------------------------------------------------
+
+
+def combined_codes(obs_cols: list, fact_cols: list):
+    """Shared dense int64 codes for multi-column keys across two frames.
+
+    Each column is factorized over the concatenation of both sides (nulls
+    become a real category), then columns are combined positionally into
+    a single int64 code; the accumulator is re-factorized before any
+    multiplication could overflow. Equal keys — across sides — get equal
+    codes, so one ``np.searchsorted`` aligns obs and fact segments.
+    """
+    n_obs = len(obs_cols[0]) if obs_cols else 0
+    combo = None
+    for ocol, fcol in zip(obs_cols, fact_cols):
+        both = pd.concat(
+            [pd.Series(ocol).reset_index(drop=True), pd.Series(fcol).reset_index(drop=True)],
+            ignore_index=True,
+        )
+        codes, uniques = pd.factorize(both, use_na_sentinel=False)
+        codes = codes.astype(np.int64)
+        k = max(len(uniques), 1)
+        if combo is None:
+            combo = codes
+        else:
+            if int(combo.max(initial=0)) > (2**62) // k:
+                combo = pd.factorize(combo)[0].astype(np.int64)
+            combo = combo * k + codes
+    return combo[:n_obs], combo[n_obs:]
+
+
+def key_segments(obs_codes_sorted: np.ndarray, fact_codes_sorted: np.ndarray):
+    """Per-key slices over code-sorted frames.
+
+    Returns (obs_start, obs_end, fact_start, fact_end) — one entry per
+    distinct obs key; fact slices are empty where the key has no facts.
+    """
+    n = len(obs_codes_sorted)
+    starts = np.flatnonzero(np.r_[True, obs_codes_sorted[1:] != obs_codes_sorted[:-1]]) \
+        if n else np.empty(0, dtype=np.int64)
+    ends = np.r_[starts[1:], n] if n else np.empty(0, dtype=np.int64)
+    vals = obs_codes_sorted[starts] if n else np.empty(0, dtype=np.int64)
+    f_lo = np.searchsorted(fact_codes_sorted, vals, side="left")
+    f_hi = np.searchsorted(fact_codes_sorted, vals, side="right")
+    return starts, ends, f_lo, f_hi
+
+
+# ---------------------------------------------------------------------------
 # as-of join kernel helper
 # ---------------------------------------------------------------------------
 

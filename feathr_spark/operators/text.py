@@ -133,16 +133,27 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (rolling window over words)."""
+    """Word n-gram shingles as array<string> (rolling window over words).
+
+    Built by zip_with-ing the word array against its own shifted slices:
+    higher-order-function *arguments* are evaluated once per row, while
+    expressions referenced inside a lambda body are re-evaluated per
+    element — an indexed ``transform(sequence(...), i -> slice(words, i, n))``
+    form re-runs the normalize+split pipeline per shingle, O(words^2)/doc.
+    """
     c = F.col(text) if isinstance(text, str) else text
     words = _words(normalize_text(c))
-    count = F.size(words) - (n - 1)
-    # sequence(1, 0) would produce a DESCENDING [1, 0]; guard short docs
-    return F.when(
-        count >= 1,
-        F.transform(F.sequence(F.lit(1), count),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    out = words
+    for k in range(1, n):
+        # slice beyond the end yields a shorter array; zip_with pads the
+        # tail with nulls, which mark incomplete shingles for removal
+        shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
+        out = F.zip_with(
+            out, shifted,
+            lambda x, y: F.when(x.isNotNull() & y.isNotNull(),
+                                F.concat(x, F.lit(" "), y)),
+        )
+    return F.filter(out, lambda s: s.isNotNull())
 
 
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
