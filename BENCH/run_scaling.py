@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+The rule demands >= 0.8 throughput scaling efficiency growing from N to
+4N executors. No multi-node cluster exists in this sandbox, so the
+sanctioned evidence protocol is: run the IDENTICAL job on the IDENTICAL
+input at two parallelism levels — ``local[8]`` and ``local[32]`` — in
+fresh JVMs, and report throughput at both plus
+``efficiency = (rps_4N / rps_N) / 4``.
+
+Job = the flagship corpus pipeline: SWA feature battery + as-of token
+lookup over the synthesized pre-tokenized corpus
+``(doc_id, tokens, n_tok, source, event_ts)``. Input synthesis + cache
+happen BEFORE the timer; only the feature computation is measured.
+
+Usage:
+    python BENCH/run_scaling.py [--sf 0.2] [--cpus 8,32] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2) -> None:
+    """Subprocess entry: measured steady-state runs in a fresh JVM.
+
+    ``warmup`` untimed iterations first — a fresh session pays ~20s of
+    one-time cost (Python worker spawn + pandas import per worker, JVM
+    JIT, codegen) that a long-lived cluster pays once per executor
+    lifetime, not per job; steady-state throughput is the scaling
+    quantity the north rule compares.
+    """
+    sys.path.insert(0, REPO)
+    import time
+
+    from feathr_spark import SWAFeature, WindowSpec, asof_join, join_window_agg_features
+    from feathr_spark.datagen import corpus
+    from feathr_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, app_name=f"scaling_{cpus}",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    fact, obs = corpus(spark, sf=sf)
+    # materialize input before the timer: synthesis cost is setup, and
+    # identical cached partitions feed both runs
+    fact = fact.cache()
+    obs = obs.cache()
+    n_fact = fact.count()
+    n_obs = obs.count()
+
+    feats = [
+        SWAFeature("tok_sum_1d", "SUM", "n_tok", WindowSpec(86400)),
+        SWAFeature("seq_cnt_1d", "COUNT", "n_tok", WindowSpec(86400)),
+        SWAFeature("tok_avg_7d", "AVG", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("tok_max_7d", "MAX", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("tok_min_7d", "MIN", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("src_cnt_7d", "COUNT_DISTINCT", "source", WindowSpec(7 * 86400)),
+        SWAFeature("web_cnt_1d", "COUNT", "n_tok", WindowSpec(86400),
+                   filter="source = 'web'"),
+        SWAFeature("tok_latest_7d", "LATEST", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("since_last_s", "TIMESINCE", "n_tok", WindowSpec(7 * 86400)),
+    ]
+    def pipeline():
+        # explicit hot-key salting: zipf-hottest doc_id would otherwise be
+        # a single straggler segment bounding wall time at any core count
+        vec = join_window_agg_features(
+            obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats,
+            obs_ts_format="epoch", fact_ts_format="epoch", strategy="cogroup",
+            hot_key_threshold=max(2000, n_obs // 50), salt_buckets=16,
+        )
+        out = asof_join(
+            vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+            ["tokens as last_tokens", "n_tok as last_n_tok"],
+            obs_ts_format="epoch", fact_ts_format="epoch",
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+    for _ in range(warmup):
+        pipeline()
+    walls = []
+    for _ in range(iters):
+        t0 = time.monotonic()
+        pipeline()
+        walls.append(time.monotonic() - t0)
+    wall = sum(walls) / len(walls)
+    print(json.dumps({
+        "cpus": cpus, "sf": sf, "wall_s": round(wall, 2),
+        "walls": [round(w, 2) for w in walls], "warmup_iters": warmup,
+        "obs_rows": n_obs, "fact_rows": n_fact,
+        "rows_per_sec": round(n_obs / wall, 1),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.2)
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--job", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.job is not None:
+        job(args.job, args.sf, warmup=args.warmup, iters=args.iters)
+        return
+
+    results = []
+    for cpus in [int(c) for c in args.cpus.split(",")]:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--job", str(cpus), "--sf", str(args.sf),
+             "--warmup", str(args.warmup), "--iters", str(args.iters)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        res = json.loads(line)
+        print(line)
+        results.append(res)
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
+    report = {
+        "results": results,
+        "scaling_ratio": ratio,
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    md = [
+        "# BENCH/BASELINE — scaling-efficiency evidence (north_rule)",
+        "",
+        "Protocol: identical flagship job (SWA 9-feature battery + as-of token",
+        f"lookup, cogroup strategy) on the identical cached corpus (sf={args.sf},",
+        f"{lo['fact_rows']:,} fact rows / {lo['obs_rows']:,} obs rows, zipf-skewed",
+        "doc_id), run in fresh JVMs at two parallelism levels. Input synthesis +",
+        "cache excluded from the timer; one untimed warmup iteration absorbs the",
+        "one-time session cost (Python worker spawn + pandas import, JVM JIT —",
+        "paid once per executor lifetime on a real cluster, not per job); wall =",
+        f"mean of {args.iters} timed iterations. Sandbox stand-in for the N -> 4N",
+        "executor criterion (no real cluster available).",
+        "",
+        "| local[N] | wall (s) | throughput (obs rows/s) |",
+        "| --- | --- | --- |",
+    ]
+    for r in results:
+        md.append(f"| {r['cpus']} | {r['wall_s']} | {r['rows_per_sec']} |")
+    md += [
+        "",
+        f"**Scaling efficiency (N={lo['cpus']} -> {hi['cpus']}):** "
+        f"(rps_{hi['cpus']} / rps_{lo['cpus']}) / {ratio:g} = **{eff:.3f}** "
+        f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
+        "",
+        "Spark conf (both runs): AQE on (skew join + partition coalescing),",
+        "Arrow pandas UDFs, shuffle.partitions = max(cpus, 8), runtime",
+        "bloom-filter joins on, UTC session TZ. See feathr_spark/session.py.",
+        "",
+        "Reproduce: `python BENCH/run_scaling.py --sf " + str(args.sf) + "`",
+    ]
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(md) + "\n")
+
+
+if __name__ == "__main__":
+    main()

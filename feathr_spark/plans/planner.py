@@ -1,0 +1,225 @@
+"""Multi-anchor feature-join planning and execution.
+
+Rebuilds the reference's pipeline (MultiStageJoinPlanner.scala:31-141 +
+DataFrameFeatureJoiner.scala:128-315) Spark-first:
+
+1. classify features into passthrough / window-agg / snapshot-anchored
+   groups (FeatureGroups.scala:11-31)
+2. group window-agg features by (source, key-expressions) so each source
+   is SCANNED ONCE for the max window across its features
+   (SlidingWindowAggregationJoiner.scala:147-171 — the engine's
+   time-range prefilter already spans all features passed per call)
+3. stage ordering: fewer-feature stages first, shrinking the shuffled
+   observation early (MultiStageJoinPlanner.scala:137-140)
+4. snapshot anchors: dedup right side on keys + left join; with a
+   timestamp column declared they become LATEST as-of lookups
+   (AnchoredFeatureJoinStep.scala:112-188, "closest from the past")
+5. sequential/lookup features: base value -> expansion join -> agg
+   (SequentialJoinAsDerivation.scala:44-167)
+6. derived features applied in dependency order, then column pruning to
+   the requested list (DataFrameFeatureJoiner.scala:276-311)
+
+Catalyst does predicate pushdown/column pruning through every step, so
+the planner only decides scan-sharing and join order — exactly the two
+things Catalyst cannot infer across feature definitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feathr_spark.definitions import (
+    Anchor,
+    DerivedFeature,
+    Feature,
+    LookupFeature,
+    ObservationSettings,
+    SWAFeature,
+)
+from feathr_spark.operators.asof import asof_join
+from feathr_spark.operators.derived import apply_derived_features
+from feathr_spark.operators.lookup import lookup_join
+from feathr_spark.operators.swa import join_window_agg_features
+from feathr_spark.sources.batch import load_source
+
+PASSTHROUGH = "passthrough"
+
+
+@dataclass
+class FeatureGroups:
+    """Classified anchors (reference: offline/logical/FeatureGroups.scala)."""
+
+    passthrough: list = field(default_factory=list)   # [(Anchor, [Feature])]
+    window_agg: list = field(default_factory=list)    # [(Anchor, [SWAFeature])]
+    snapshot: list = field(default_factory=list)      # [(Anchor, [Feature])]
+
+    @classmethod
+    def classify(cls, anchors: Sequence[Anchor]) -> "FeatureGroups":
+        g = cls()
+        for a in anchors:
+            if a.source is None or getattr(a.source, "path", None) == PASSTHROUGH:
+                g.passthrough.append((a, list(a.features)))
+            elif a.features and isinstance(a.features[0], SWAFeature):
+                g.window_agg.append((a, list(a.features)))
+            else:
+                g.snapshot.append((a, list(a.features)))
+        return g
+
+    def all_feature_names(self) -> list[str]:
+        names = []
+        for group in (self.passthrough, self.window_agg, self.snapshot):
+            for _, feats in group:
+                names += [f.name for f in feats]
+        return names
+
+
+def _apply_lateral_view(df: DataFrame, anchor: Anchor) -> DataFrame:
+    """LATERAL VIEW explode(...) alias [WHERE ...] on the fact source
+    (FeatureTransformer.scala:51-64)."""
+    if not anchor.lateral_view:
+        return df
+    out = df.select("*", F.expr(anchor.lateral_view).alias(anchor.lateral_view_alias))
+    if anchor.lateral_view_filter:
+        out = out.where(F.expr(anchor.lateral_view_filter))
+    return out
+
+
+def _source_key(anchor: Anchor) -> tuple:
+    s = anchor.source
+    return (s.path, s.fmt, tuple(sorted((s.options or {}).items())),
+            tuple(anchor.keys), anchor.lateral_view, anchor.lateral_view_filter)
+
+
+def join_features(
+    spark: SparkSession,
+    observation: DataFrame,
+    settings: ObservationSettings,
+    anchors: Sequence[Anchor],
+    derived: Sequence[DerivedFeature] = (),
+    lookups: Sequence[LookupFeature] = (),
+    requested: Optional[Sequence[str]] = None,
+    source_cache: Optional[dict] = None,
+) -> DataFrame:
+    """Point-in-time join of every requested feature onto ``observation``.
+
+    ``source_cache`` maps an anchor's source path to an already-loaded
+    DataFrame (tests inject in-memory frames; production resolves via
+    spark.read with the engine's loader).
+    """
+    groups = FeatureGroups.classify(anchors)
+    out = observation
+    anchor_dfs: dict[str, DataFrame] = {}
+
+    def _load(anchor: Anchor) -> DataFrame:
+        path = anchor.source.path
+        if source_cache and path in source_cache:
+            df = anchor.source.preprocessing(source_cache[path]) \
+                if anchor.source.preprocessing else source_cache[path]
+        else:
+            df = load_source(spark, anchor.source)
+        return _apply_lateral_view(df, anchor)
+
+    # (1) passthrough: expressions over observation columns directly
+    # (MultiStageJoinPlanner.scala:87-90)
+    for _, feats in groups.passthrough:
+        for f in feats:
+            out = out.withColumn(f.name, F.expr(f.expr))
+
+    # (2) window-agg stages: one engine call per (source, keys) group --
+    # the scan is shared and the time prefilter spans the max window
+    swa_by_source: dict[tuple, list] = {}
+    for a, feats in groups.window_agg:
+        swa_by_source.setdefault(_source_key(a), []).append((a, feats))
+    stages = sorted(swa_by_source.values(), key=lambda grp: sum(len(f) for _, f in grp))
+    for grp in stages:
+        a0 = grp[0][0]
+        fact = _load(a0)
+        feats = [f for _, fs in grp for f in fs]
+        out = join_window_agg_features(
+            out, fact,
+            obs_keys=settings.keys, fact_keys=a0.keys,
+            obs_ts=settings.timestamp_col, fact_ts=a0.source.timestamp_col,
+            features=feats,
+            obs_ts_format=settings.timestamp_format,
+            fact_ts_format=a0.source.timestamp_format,
+        )
+
+    # (3) snapshot anchors: as-of LATEST when the source is time-stamped,
+    # plain dedup+left-join otherwise
+    snap_sorted = sorted(groups.snapshot, key=lambda t: len(t[1]))
+    for a, feats in snap_sorted:
+        src = _load(a)
+        anchor_dfs[a.name] = src
+        if a.source.timestamp_col:
+            out = asof_join(
+                out, src, settings.keys, a.keys,
+                settings.timestamp_col, a.source.timestamp_col,
+                [f"{f.expr} as {f.name}" for f in feats],
+                obs_ts_format=settings.timestamp_format,
+                fact_ts_format=a.source.timestamp_format,
+            )
+        else:
+            kcols = [f"__sk{i}" for i in range(len(a.keys))]
+            proj = src.select(
+                *[F.expr(k).alias(kc) for k, kc in zip(a.keys, kcols)],
+                *[F.expr(f.expr).alias(f.name) for f in feats],
+            ).dropDuplicates(kcols)
+            cond = None
+            for okey, kc in zip(settings.keys, kcols):
+                c = F.expr(okey).eqNullSafe(F.col(kc)) & F.expr(okey).isNotNull()
+                cond = c if cond is None else (cond & c)
+            out = out.join(proj, cond, "left").drop(*kcols)
+        for f in feats:
+            if f.default is not None:
+                out = out.withColumn(f.name, F.coalesce(F.col(f.name), F.lit(f.default)))
+
+    # (4) sequential/lookup features over joined base values.
+    # lookup_join references its obs twice (projection + join-back), so
+    # the row uid must be evaluated exactly once: monotonically_increasing_id
+    # is retry/branch nondeterministic (the reference flags the same hazard,
+    # SequentialJoinAsDerivation.scala:125-129) -> pin it with a local
+    # checkpoint, the planner analogue of the reference's stage checkpoints
+    if lookups:
+        out = out.withColumn("__lk_uid", F.monotonically_increasing_id()).localCheckpoint()
+    for lk in lookups:
+        exp_anchor = next(a for a in anchors if a.name == lk.expansion_anchor)
+        exp_df = anchor_dfs.get(lk.expansion_anchor)
+        if exp_df is None:
+            exp_df = _load(exp_anchor)
+        exp_feat = next(f for f in exp_anchor.features if f.name == lk.expansion_feature)
+        out = lookup_join(
+            out, "__lk_uid", lk.base_feature,
+            exp_df.select(F.expr(exp_anchor.keys[0]).alias("__ek"),
+                          F.expr(exp_feat.expr).alias(lk.expansion_feature)),
+            "__ek", lk.expansion_feature, lk.name,
+            aggregation=lk.aggregation,
+        )
+    if lookups:
+        out = out.drop("__lk_uid")
+
+    # (5) derived features in dependency order
+    remaining = list(derived)
+    applied: set[str] = set()
+    while remaining:
+        progress = False
+        for d in list(remaining):
+            deps = set(d.inputs) if d.inputs else set()
+            if deps - set(out.columns) - applied:
+                continue
+            out = apply_derived_features(out, [(d.name, d.expr)])
+            applied.add(d.name)
+            remaining.remove(d)
+            progress = True
+        if not progress:
+            raise ValueError(f"circular/unresolvable derived features: "
+                             f"{[d.name for d in remaining]}")
+
+    # (6) prune to requested features (+ observation columns)
+    if requested is not None:
+        keep = list(observation.columns) + [c for c in requested if c in out.columns]
+        out = out.select(*dict.fromkeys(keep))
+    return out

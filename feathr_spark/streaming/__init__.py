@@ -1,0 +1,8 @@
+"""Structured Streaming feature ingestion + stateful windowed operators."""
+
+from feathr_spark.streaming.ingest import (  # noqa: F401
+    stream_features,
+    stream_session_agg,
+    stream_to_sink,
+    stream_window_agg,
+)

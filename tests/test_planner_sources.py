@@ -1,0 +1,145 @@
+"""Planner (multi-anchor join_features) + source/sink layer tests."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from feathr_spark.definitions import (
+    Anchor,
+    DerivedFeature,
+    Feature,
+    LookupFeature,
+    ObservationSettings,
+    Source,
+    SWAFeature,
+    WindowSpec,
+)
+from feathr_spark.plans import FeatureGroups, join_features
+from feathr_spark.sources import read_batch, read_time_partitioned, write_partitioned
+
+T0 = 1_700_000_000
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    obs = spark.createDataFrame(
+        [(1, "u1", T0 + 7200, 10.0), (2, "u2", T0 + 7200, 20.0),
+         (3, "u3", T0 + 7200, 30.0)],
+        "obs_id long, uid string, ts long, raw double")
+    events = spark.createDataFrame(
+        [("u1", T0 + 100, 5.0), ("u1", T0 + 200, 7.0), ("u2", T0 + 300, 11.0),
+         ("u1", T0 + 9999, 99.0)],  # future row: must never leak
+        "uid string, ts long, v double")
+    profile = spark.createDataFrame(
+        [("u1", "US", 3), ("u2", "DE", 5)],
+        "uid string, country string, tier int")
+    countries = spark.createDataFrame(
+        [("US", 330.0), ("DE", 83.0)], "code string, population double")
+    return obs, events, profile, countries
+
+
+def test_join_features_end_to_end(spark, frames):
+    obs, events, profile, countries = frames
+    anchors = [
+        Anchor("ev", Source("mem://events", timestamp_col="ts"), ["uid"], [
+            SWAFeature("v_sum_1d", "SUM", "v", WindowSpec(86400)),
+            SWAFeature("v_cnt_1d", "COUNT", "v", WindowSpec(86400)),
+        ]),
+        Anchor("prof", Source("mem://profile"), ["uid"], [
+            Feature("country", "country"),
+            Feature("tier", "tier", default=0),
+        ]),
+        Anchor("geo", Source("mem://countries"), ["code"], [
+            Feature("population", "population"),
+        ]),
+        Anchor("pt", Source("passthrough"), [], [
+            Feature("raw_x2", "raw * 2"),
+        ]),
+    ]
+    lookups = [LookupFeature("country_pop", "country", "geo", "population",
+                             aggregation="FIRST")]
+    derived = [DerivedFeature("v_avg_alt", "v_sum_1d / v_cnt_1d",
+                              inputs=("v_sum_1d", "v_cnt_1d"))]
+    out = join_features(
+        spark, obs, ObservationSettings(["uid"], "ts"),
+        anchors, derived=derived, lookups=lookups,
+        requested=["v_sum_1d", "v_cnt_1d", "country", "tier", "raw_x2",
+                   "country_pop", "v_avg_alt"],
+        source_cache={"mem://events": events, "mem://profile": profile,
+                      "mem://countries": countries},
+    )
+    rows = {r["obs_id"]: r for r in out.collect()}
+    r1, r2, r3 = rows[1], rows[2], rows[3]
+    assert math.isclose(r1["v_sum_1d"], 12.0)       # 5 + 7; future 99 excluded
+    assert r1["v_cnt_1d"] == 2
+    assert math.isclose(r1["v_avg_alt"], 6.0)
+    assert r1["country"] == "US" and r1["tier"] == 3
+    assert math.isclose(r1["country_pop"], 330.0)
+    assert math.isclose(r2["v_sum_1d"], 11.0)
+    assert r2["country"] == "DE"
+    assert r3["v_sum_1d"] is None                    # no events for u3
+    assert r3["country"] is None and r3["tier"] == 0  # default applied
+    assert r3["country_pop"] is None
+    assert math.isclose(r3["raw_x2"], 60.0)
+
+
+def test_feature_groups_classification(frames):
+    anchors = [
+        Anchor("a", Source("p", timestamp_col="ts"), ["k"],
+               [SWAFeature("s", "SUM", "v", WindowSpec(60))]),
+        Anchor("b", Source("p2"), ["k"], [Feature("f", "x")]),
+        Anchor("c", Source("passthrough"), [], [Feature("g", "y")]),
+    ]
+    g = FeatureGroups.classify(anchors)
+    assert len(g.window_agg) == 1 and len(g.snapshot) == 1 and len(g.passthrough) == 1
+    assert sorted(g.all_feature_names()) == ["f", "g", "s"]
+
+
+def test_swa_source_scanned_once(spark, frames):
+    """Two anchors on the same (source, keys) fuse into one engine call."""
+    obs, events, _, _ = frames
+    src = Source("mem://events", timestamp_col="ts")
+    anchors = [
+        Anchor("a1", src, ["uid"], [SWAFeature("s1", "SUM", "v", WindowSpec(86400))]),
+        Anchor("a2", src, ["uid"], [SWAFeature("s2", "MAX", "v", WindowSpec(3600 * 48))]),
+    ]
+    out = join_features(spark, obs, ObservationSettings(["uid"], "ts"), anchors,
+                        source_cache={"mem://events": events})
+    # one SWA stage -> exactly one FlatMapCoGroupsInPandas/Window chain;
+    # cheap proxy: both features present and correct
+    r1 = {r["obs_id"]: r for r in out.collect()}[1]
+    assert math.isclose(r1["s1"], 12.0) and math.isclose(r1["s2"], 7.0)
+
+
+def test_read_batch_csv_tsv_retry(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_batch(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("a\tb\n1\tx\n")
+    assert read_batch(spark, str(tsv)).collect()[0]["b"] == "x"
+    with pytest.raises(Exception):
+        read_batch(spark, str(tmp_path / "missing.parquet"), retries=2, retry_wait_s=0.01)
+
+
+def test_time_partitioned_scan(spark, tmp_path):
+    base = str(tmp_path / "ts")
+    df1 = spark.range(3).withColumnRenamed("id", "x")
+    from pyspark.sql import functions as F
+    df2 = spark.range(2).withColumnRenamed("id", "x").withColumn("extra", F.col("x") * 2)
+    day1, day2 = 1_700_000_000, 1_700_000_000 + 86400
+    write_partitioned(df1, base, day1)
+    write_partitioned(df2, base, day2)
+    # the writer uses daily/yyyy/MM/dd; the scanner consumes that layout
+    out = read_time_partitioned(spark, os.path.join(base, "daily"),
+                                day1, day2 + 1, timestamp_col="pt")
+    assert out.count() == 5
+    assert set(out.columns) == {"x", "extra", "pt"}
+    pts = {r["pt"] for r in out.select("pt").distinct().collect()}
+    assert len(pts) == 2  # partition time synthesized per day
+    # schema drift reconciled: day1 rows carry null extra
+    assert out.where("extra is null").count() == 3

@@ -1,0 +1,118 @@
+"""Structured Streaming ingestion: file-source micro-batches through the
+row-transform + windowed/session aggregation + foreachBatch sink paths,
+with a restart proving checkpoint recovery (no reprocessing)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from feathr_spark.definitions import Feature
+from feathr_spark.streaming import (
+    stream_features,
+    stream_session_agg,
+    stream_to_sink,
+    stream_window_agg,
+)
+
+SCHEMA = "uid string, ts timestamp, v double, et string"
+
+
+def _write_batch(spark, path, rows):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "uid string, ts string, v double, et string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def src_dir(spark, tmp_path):
+    p = str(tmp_path / "src")
+    _write_batch(spark, p, [
+        ("u1", "2024-01-01 00:00:10", 1.0, "click"),
+        ("u1", "2024-01-01 00:10:00", 2.0, "view"),
+        ("u2", "2024-01-01 00:20:00", 5.0, "click"),
+        ("u1", "2024-01-01 01:30:00", 3.0, "click"),
+    ])
+    return p
+
+
+def _run_to_rows(spark, out_df, tmp_path, name, mode="update"):
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = stream_to_sink(out_df, sink, str(tmp_path / f"ckpt_{name}"),
+                       output_mode=mode, query_name=name)
+    q.awaitTermination(120)
+    return collected
+
+
+def test_stream_row_features(spark, src_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    out = stream_features(
+        stream, ["upper(uid)"], [Feature("v2", "v * 2"), Feature("is_click", "cast(et = 'click' as int)")],
+        key_names=["entity"], where="v > 0",
+    )
+    rows = _run_to_rows(spark, out, tmp_path, "rowfeat", mode="append")
+    assert len(rows) == 4
+    got = {(r["entity"], r["v2"], r["is_click"]) for r in rows}
+    assert ("U1", 2.0, 1) in got and ("U2", 10.0, 1) in got
+
+
+def test_stream_window_agg_and_checkpoint_restart(spark, src_dir, tmp_path):
+    def make_stream():
+        s = spark.readStream.schema(SCHEMA).parquet(src_dir)
+        return stream_window_agg(
+            s, ["uid"], "ts", "1 hour",
+            {"v_sum": "sum(v)", "n": "count(v)"}, watermark="30 minutes",
+        )
+
+    rows1 = _run_to_rows(spark, make_stream(), tmp_path, "winagg")
+    s1 = {(r["uid"], str(r["window_start"]), r["v_sum"], r["n"]) for r in rows1}
+    assert ("u1", "2024-01-01 00:00:00", 3.0, 2) in s1
+    assert ("u2", "2024-01-01 00:00:00", 5.0, 1) in s1
+    assert ("u1", "2024-01-01 01:00:00", 3.0, 1) in s1
+
+    # append late + new data, restart from the SAME checkpoint: only the
+    # new file is processed (offset recovery), updated windows re-emit
+    _write_batch(spark, src_dir, [
+        ("u2", "2024-01-01 01:40:00", 7.0, "view"),
+        ("u1", "2024-01-01 01:45:00", 10.0, "click"),
+    ])
+    rows2 = _run_to_rows(spark, make_stream(), tmp_path, "winagg")
+    s2 = {(r["uid"], str(r["window_start"]), r["v_sum"], r["n"]) for r in rows2}
+    assert ("u2", "2024-01-01 01:00:00", 7.0, 1) in s2
+    assert ("u1", "2024-01-01 01:00:00", 13.0, 2) in s2  # merged with state
+    # old finalized windows are NOT re-emitted
+    assert not any(w == "2024-01-01 00:00:00" for _, w, _, _ in s2)
+
+
+def test_stream_session_agg(spark, src_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    out = stream_session_agg(
+        stream, ["uid"], "ts", "30 minutes",
+        {"v_sum": "sum(v)", "n": "count(v)"}, watermark="10 minutes",
+    )
+    rows = _run_to_rows(spark, out, tmp_path, "sess", mode="complete")
+    by = {(r["uid"], str(r["session_start"])): (r["v_sum"], r["n"]) for r in rows}
+    # u1: events at 00:00:10 and 00:10:00 chain into one session; 01:30 alone
+    assert by[("u1", "2024-01-01 00:00:10")] == (3.0, 2)
+    assert by[("u1", "2024-01-01 01:30:00")] == (3.0, 1)
+    assert by[("u2", "2024-01-01 00:20:00")] == (5.0, 1)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    p = str(tmp_path / "dup_src")
+    _write_batch(spark, p, [
+        ("u1", "2024-01-01 00:00:10", 1.0, "click"),
+        ("u1", "2024-01-01 00:00:10", 1.0, "click"),  # exact dup (retry)
+        ("u2", "2024-01-01 00:01:00", 2.0, "view"),
+    ])
+    stream = spark.readStream.schema(SCHEMA).parquet(p)
+    dedup = stream.withWatermark("ts", "1 hour") \
+        .dropDuplicatesWithinWatermark(["uid", "ts"])
+    rows = _run_to_rows(spark, dedup, tmp_path, "dedup", mode="append")
+    assert len(rows) == 2
