@@ -66,13 +66,13 @@ def _events_obs(spark, sf_dir):
     return ev, ev.select("event_id", "user_id", "ts")
 
 
-def _swa(spark, sf_dir, feats, strategy="auto"):
+def _swa(spark, sf_dir, feats, strategy="auto", **kw):
     from feathr_spark import join_window_agg_features
 
     ev, obs = _events_obs(spark, sf_dir)
     return join_window_agg_features(
         obs, ev, ["user_id"], ["user_id"], "ts", "ts", feats,
-        obs_ts_format="timestamp", fact_ts_format="timestamp", strategy=strategy,
+        obs_ts_format="timestamp", fact_ts_format="timestamp", strategy=strategy, **kw,
     )
 
 
@@ -415,6 +415,197 @@ def q_knn_bruteforce(spark, sf_dir):
     return brute_force_topk(emb, queries, k=3)
 
 
+def q_swa_multikey(spark, sf_dir):
+    """Composite (user_id, event_type) join key."""
+    from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select("event_id", "user_id", "event_type", "ts")
+    out = join_window_agg_features(
+        obs, ev, ["user_id", "event_type"], ["user_id", "event_type"], "ts", "ts",
+        [SWAFeature("s", "SUM", "value", WindowSpec(86400))],
+        obs_ts_format="timestamp", fact_ts_format="timestamp",
+    )
+    return out.select("event_id", F.round("s", 4).alias("sum_1d_bytype"))
+
+
+def q_swa_salted(spark, sf_dir):
+    """Identical semantics to swa_sum_count_avg, with explicit hot-key
+    salting forced on — the correctness gate proves salting changes
+    nothing but the physical plan."""
+    from feathr_spark import SWAFeature, WindowSpec
+
+    out = _swa(spark, sf_dir, [
+        SWAFeature("s", "SUM", "value", WindowSpec(3600)),
+        SWAFeature("c", "COUNT", "value", WindowSpec(3600)),
+        SWAFeature("a", "AVG", "value", WindowSpec(3600)),
+    ], strategy="cogroup", hot_key_threshold=50, salt_buckets=4)
+    return out.select(
+        "event_id",
+        F.round("s", 4).alias("sum_1h"),
+        F.col("c").alias("cnt_1h"),
+        F.round("a", 6).alias("avg_1h"),
+    )
+
+
+def _emb_ts(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.pmod(F.col("vec_id"), F.lit(50)).cast("long").alias("k"),
+        (F.lit(1_700_000_000) + F.col("vec_id") * 60).alias("ts"),
+        "vec_id", "embedding",
+    )
+
+
+def q_swa_pooling(spark, sf_dir):
+    """Element-wise MAX_POOLING over array-valued metric in a 2h window
+    (embedding rows given synthetic entity keys + timestamps)."""
+    from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
+
+    e = _emb_ts(spark, sf_dir)
+    obs = e.select("vec_id", "k", "ts")
+    out = join_window_agg_features(
+        obs, e, ["k"], ["k"], "ts", "ts",
+        [SWAFeature("p", "MAX_POOLING", "embedding", WindowSpec(7200))],
+    )
+    return out.select(
+        "vec_id",
+        # + 0.0 normalizes IEEE negative zero (DuckDB round keeps -0.0)
+        F.transform("p", lambda x: F.round(x, 4) + F.lit(0.0)).alias("pooled"),
+    )
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of with delay=5min and tolerance=1h."""
+    from feathr_spark import asof_join
+
+    ev, obs = _events_obs(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'")
+    out = asof_join(obs, purchases, ["user_id"], ["user_id"], "ts", "ts",
+                    ["value as last_val"], obs_ts_format="timestamp",
+                    fact_ts_format="timestamp", delay=300, tolerance=3600)
+    return out.select("event_id", F.round("last_val", 4).alias("last_val"))
+
+
+def q_asof_cogroup(spark, sf_dir):
+    from feathr_spark import asof_join
+
+    ev, obs = _events_obs(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'")
+    out = asof_join(obs, purchases, ["user_id"], ["user_id"], "ts", "ts",
+                    ["value as last_purchase_value"], obs_ts_format="timestamp",
+                    fact_ts_format="timestamp", strategy="cogroup")
+    return out.select("event_id", F.round("last_purchase_value", 4).alias("last_purchase_value"))
+
+
+GEN_CUTOFF = 1_705_276_800  # 2024-01-15T00:00:00Z, mid-events-range
+
+
+def q_gen_cutoff(spark, sf_dir):
+    """Feature generation (materialization): per-entity aggregates over
+    the window ending at a fixed cutoff."""
+    from feathr_spark.definitions import SWAFeature, WindowSpec
+    from feathr_spark.materialize import GenSpec, generate_features
+
+    ev = _t(spark, sf_dir, "events")
+    spec = GenSpec(
+        keys=["user_id"], key_names=["user_id"],
+        ts_col="ts", ts_format="timestamp",
+        features=[
+            SWAFeature("v_sum_3d", "SUM", "value", WindowSpec(3 * 86400)),
+            SWAFeature("v_cnt_3d", "COUNT", "value", WindowSpec(3 * 86400)),
+            SWAFeature("v_max_3d", "MAX", "value", WindowSpec(3 * 86400)),
+            SWAFeature("v_latest_3d", "LATEST", "value", WindowSpec(3 * 86400)),
+        ],
+    )
+    out = generate_features(ev, spec, GEN_CUTOFF)
+    return out.select(
+        "user_id",
+        F.round("v_sum_3d", 4).alias("v_sum_3d"),
+        F.col("v_cnt_3d").cast("long").alias("v_cnt_3d"),
+        F.round("v_max_3d", 4).alias("v_max_3d"),
+        F.round("v_latest_3d", 4).alias("v_latest_3d"),
+    )
+
+
+def q_gen_incremental(spark, sf_dir):
+    """Incremental snapshot advance (prev + incoming - expired) — the
+    oracle is a FULL recompute at the new cutoff, so the correctness
+    gate proves the delta algebra."""
+    from feathr_spark.definitions import SWAFeature, WindowSpec
+    from feathr_spark.materialize import GenSpec, generate_features, incremental_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    spec = GenSpec(
+        keys=["user_id"], key_names=["user_id"],
+        ts_col="ts", ts_format="timestamp",
+        features=[
+            SWAFeature("v_sum_3d", "SUM", "value", WindowSpec(3 * 86400)),
+            SWAFeature("v_cnt_3d", "COUNT", "value", WindowSpec(3 * 86400)),
+            SWAFeature("v_avg_3d", "AVG", "value", WindowSpec(3 * 86400)),
+        ],
+    )
+    prev = generate_features(ev, spec, GEN_CUTOFF - 86400)
+    inc = incremental_snapshot(ev, spec, prev, GEN_CUTOFF - 86400, GEN_CUTOFF)
+    return inc.where(F.col("v_cnt_3d") > 0).select(
+        "user_id",
+        F.round("v_sum_3d", 4).alias("v_sum_3d"),
+        F.col("v_cnt_3d").cast("long").alias("v_cnt_3d"),
+        F.round("v_avg_3d", 6).alias("v_avg_3d"),
+    )
+
+
+def q_rollup_daily(spark, sf_dir):
+    """Multi-level time-bucket rollup: the daily level is re-aggregated
+    from hourly buckets (one raw scan), oracle-checked against direct
+    daily bucketing."""
+    from feathr_spark.operators.rollup import multi_level_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    levels = multi_level_rollup(ev, ["user_id"], "ts_s", "value", "SUM",
+                                levels=["1h", "1d"], out_name="v_sum")
+    return levels["1d"].select("user_id", "bucket_start",
+                               F.round("v_sum", 4).alias("v_sum"))
+
+
+def q_word_counts(spark, sf_dir):
+    """Corpus-wide word frequencies via explode (lateral view)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_stream_hourly(spark, sf_dir):
+    """Hourly per-user aggregates computed by Structured Streaming
+    (availableNow over the events parquet, complete mode to a memory
+    sink) — same results as the batch oracle."""
+    import tempfile
+    import uuid
+
+    from feathr_spark.streaming import stream_window_agg
+
+    schema = _t(spark, sf_dir, "events").schema
+    # glob form: the file stream source rejects a bare file as basePath
+    stream = spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events*") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ cannot carry a watermark
+    agg = stream_window_agg(
+        stream, ["user_id"], "ts", "1 hour",
+        {"n": "count(value)", "v_sum": "round(sum(value), 4)"},
+        watermark="1 minute",
+    )
+    name = "q_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="feathr_stream_"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", F.unix_timestamp("window_start").alias("bucket_start"), "n", "v_sum")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -446,6 +637,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
+        "swa_multikey": q_swa_multikey,
+        "swa_salted": q_swa_salted,
+        "swa_pooling": q_swa_pooling,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_cogroup": q_asof_cogroup,
+        "gen_cutoff": q_gen_cutoff,
+        "gen_incremental": q_gen_incremental,
+        "rollup_daily": q_rollup_daily,
+        "word_counts": q_word_counts,
+        "stream_hourly": q_stream_hourly,
     }
 
 
@@ -658,6 +859,89 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 5)
                        AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
+        """,
+        "swa_multikey": """
+            SELECT o.event_id, round(sum(f.value), 4) AS sum_1d_bytype
+            FROM events o LEFT JOIN events f
+              ON f.user_id = o.user_id AND f.event_type = o.event_type
+             AND epoch_us(f.ts) >  epoch_us(o.ts) - 86400000000
+             AND epoch_us(f.ts) <= epoch_us(o.ts)
+            GROUP BY o.event_id
+        """,
+        "swa_salted": _SWA_BASIC_ORACLE,
+        "swa_pooling": """
+            WITH e AS (
+                SELECT vec_id % 50 AS k, 1700000000 + vec_id * 60 AS ts, vec_id, embedding
+                FROM embeddings
+            ), pairs AS (
+                SELECT o.vec_id AS oid, f.embedding AS emb
+                FROM e o JOIN e f ON f.k = o.k
+                 AND f.ts > o.ts - 7200 AND f.ts <= o.ts
+            ), grouped AS (
+                SELECT oid, list(emb) AS embs FROM pairs GROUP BY oid
+            )
+            SELECT oid AS vec_id,
+                   list_transform(range(1, 65),
+                       i -> round(CAST(list_max(list_transform(embs, e -> e[i])) AS DOUBLE), 4) + 0.0)
+                       AS pooled
+            FROM grouped
+        """,
+        "asof_tolerance": """
+            SELECT o.event_id, round(arg_max(f.value, f.ts), 4) AS last_val
+            FROM events o LEFT JOIN events f
+              ON f.user_id = o.user_id AND f.event_type = 'purchase'
+             AND epoch_us(f.ts) <= epoch_us(o.ts) - 300000000
+             AND epoch_us(f.ts) >  epoch_us(o.ts) - 300000000 - 3600000000
+            GROUP BY o.event_id
+        """,
+        "asof_cogroup": """
+            SELECT o.event_id, round(f.value, 4) AS last_purchase_value
+            FROM events o ASOF LEFT JOIN (
+                SELECT * FROM events WHERE event_type = 'purchase'
+            ) f ON o.user_id = f.user_id AND f.ts <= o.ts
+        """,
+        "gen_cutoff": f"""
+            SELECT user_id,
+                   round(sum(value), 4) AS v_sum_3d,
+                   count(value) AS v_cnt_3d,
+                   round(max(value), 4) AS v_max_3d,
+                   round(arg_max(value, ts), 4) AS v_latest_3d
+            FROM events
+            WHERE epoch_us(ts) > CAST({GEN_CUTOFF} - 3*86400 AS BIGINT) * 1000000
+              AND epoch_us(ts) <= CAST({GEN_CUTOFF} AS BIGINT) * 1000000
+            GROUP BY user_id
+        """,
+        "gen_incremental": f"""
+            SELECT user_id,
+                   round(sum(value), 4) AS v_sum_3d,
+                   count(value) AS v_cnt_3d,
+                   round(avg(value), 6) AS v_avg_3d
+            FROM events
+            WHERE epoch_us(ts) > CAST({GEN_CUTOFF} - 3*86400 AS BIGINT) * 1000000
+              AND epoch_us(ts) <= CAST({GEN_CUTOFF} AS BIGINT) * 1000000
+            GROUP BY user_id
+            HAVING count(value) > 0
+        """,
+        "rollup_daily": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+                   round(sum(value), 4) AS v_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "word_counts": r"""
+            SELECT w AS word, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
+            WHERE w <> ''
+            GROUP BY w
+        """,
+        "stream_hourly": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+                   count(value) AS n,
+                   round(sum(value), 4) AS v_sum
+            FROM events
+            GROUP BY 1, 2
         """,
         # minhash_clusters / simhash_pairs / knn_bruteforce: rows-only checks
     }
