@@ -606,6 +606,65 @@ def q_stream_hourly(spark, sf_dir):
         "user_id", F.unix_timestamp("window_start").alias("bucket_start"), "n", "v_sum")
 
 
+def q_lang_id(spark, sf_dir):
+    """N-gram/stopword-heuristic language ID over documents."""
+    from feathr_spark.operators.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """64-bit content fingerprints (normalized-text xxhash64) grouped
+    into duplicate clusters; oracle groups by the normalized text itself
+    (identical clusters assuming no 64-bit collisions at this scale)."""
+    from feathr_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .select("keep_id", "n_docs")
+    )
+
+
+def q_near_dup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact brute-force baseline
+    (the LSH-bucketed variant is q_ann_lsh, rows-only)."""
+    from feathr_spark.operators.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_sim(F.col("va"), F.col("vb"))
+    return pairs.where(cos >= 0.42).select(
+        "id_a", "id_b", F.round(cos, 5).alias("cosine"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-k neighbors via random-hyperplane LSH buckets
+    (rows-only: approximate recall is seed-dependent, not SQL-expressible)."""
+    from feathr_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = [r["embedding"] for r in emb.where(F.col("vec_id") < 4)
+             .orderBy("vec_id").collect()]
+    dim = len(qvecs[0])
+    return ann_topk_lsh(emb, qvecs, dim, k=3, n_bits=8, seed=7)
+
+
+def q_rollup_distinct_daily(spark, sf_dir):
+    """Bucketed exact count-distinct rollup (daily distinct users)."""
+    from feathr_spark.operators.rollup import bucketed_count_distinct
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    out = bucketed_count_distinct(ev, [], "ts_s", "user_id", levels=["1d"], exact=True)
+    return out["1d"].select("bucket_start", "n_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -647,6 +706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily": q_rollup_daily,
         "word_counts": q_word_counts,
         "stream_hourly": q_stream_hourly,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "ann_lsh": q_ann_lsh,
+        "rollup_distinct_daily": q_rollup_distinct_daily,
     }
 
 
@@ -943,5 +1007,52 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        # minhash_clusters / simhash_pairs / knn_bruteforce: rows-only checks
+        "lang_id": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_filter(words, x -> x IN ('the','and','of','to','in','is','that','for','with','are'))) * 1.0 / greatest(len(words), 1) AS s_en,
+                       len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) * 1.0 / greatest(len(words), 1) AS s_de,
+                       len(list_filter(words, x -> x IN ('le','la','les','et','des','est','dans','que','pour','une'))) * 1.0 / greatest(len(words), 1) AS s_fr,
+                       len(list_filter(words, x -> x IN ('el','la','los','que','de','en','es','por','con','para'))) * 1.0 / greatest(len(words), 1) AS s_es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.01 THEN 'und'
+                        -- tie-break = lexicographically largest code, matching
+                        -- Spark's max over struct(score, code)
+                        WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+            FROM documents
+            GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                         '\s+', ' ', 'g'))
+        """,
+        "near_dup_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 5) AS cosine FROM p WHERE c >= 0.42
+        """,
+        "rollup_distinct_daily": """
+            SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events
+            GROUP BY 1
+        """,
+        # minhash_clusters / simhash_pairs / knn_bruteforce / ann_lsh:
+        # rows-only checks (xxhash64 signatures / approximate recall)
     }

@@ -34,7 +34,13 @@ from pyspark.sql import types as T
 
 from feathr_spark.functions.timestamps import to_epoch_micros
 from feathr_spark.operators import kernels
-from feathr_spark.operators.swa import _isolate_null_keys, _key_cols, _with_keys_ts
+from feathr_spark.operators.swa import (
+    _default_buckets,
+    _isolate_null_keys,
+    _key_cols,
+    _salt,
+    _with_keys_ts,
+)
 
 MICROS = 1_000_000
 
@@ -53,6 +59,8 @@ def asof_join(
     tolerance: Optional[float] = None,
     strategy: str = "union",
     suffix: str = "",
+    hot_key_threshold: Optional[int] = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Left as-of join: obs columns + ``value_cols`` from the matched fact row.
 
@@ -94,7 +102,9 @@ def asof_join(
         joined = _asof_union(obs_main, fact_proj, n_keys, vcols, delay_us, tol_us)
     elif strategy == "cogroup":
         joined = _asof_cogroup(obs_main, fact_proj, n_keys, vcols, vtypes,
-                               obs.schema, out_names, delay_us, tol_us)
+                               obs.schema, out_names, delay_us, tol_us,
+                               hot_key_threshold=hot_key_threshold,
+                               salt_buckets=salt_buckets)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -137,11 +147,18 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
 
 
 def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
-                  delay_us, tol_us, num_buckets=None):
+                  delay_us, tol_us, num_buckets=None,
+                  hot_key_threshold=None, salt_buckets=8):
     """Bucketed multi-key as-of kernel (see swa._swa_cogroup: one Arrow
-    call per hash bucket of keys, per-key slices aligned inside)."""
+    call per hash bucket of keys, per-key slices aligned inside).
+    Hot-key skew: fact rows of hot keys replicate into every salt
+    bucket, observations hash into one — each obs still sees its key's
+    full history (swa._salt, reference SaltedSparkJoin.scala:88-130)."""
     kcols = _key_cols(n_keys)
     seg_cols = kcols + ["__nk"]
+    if hot_key_threshold:
+        obs, fact_proj = _salt(obs, fact_proj, n_keys, hot_key_threshold, salt_buckets)
+        seg_cols = kcols + ["__nk", "__salt"]
     obs_out_cols = [f.name for f in obs_schema.fields]
     out_fields = list(obs_schema.fields) + [
         T.StructField(name, vtypes[vcol]) for vcol, name in zip(vcols, out_names)
@@ -185,7 +202,7 @@ def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
             result[name] = outs[name]
         return result
 
-    b = num_buckets or max(obs.sparkSession.sparkContext.defaultParallelism * 4, 32)
+    b = num_buckets or _default_buckets(obs)
     bucket = F.pmod(F.xxhash64(*seg_cols), F.lit(b)).cast("int")
     obs_b = obs.withColumn("__b", bucket)
     fact_b = fact_proj.withColumn("__b", bucket)

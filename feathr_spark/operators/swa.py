@@ -323,6 +323,18 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
     return kernel
 
 
+def _default_buckets(df: DataFrame) -> int:
+    """Cogroup hash-bucket count: follow the session's shuffle-partition
+    sizing (fixed to the data, not to this session's core count) so the
+    same job at N and 4N cores produces identical bucketing — matching
+    the real-cluster N -> 4N protocol where partition count is constant."""
+    spark = df.sparkSession
+    try:
+        return max(int(spark.conf.get("spark.sql.shuffle.partitions")), 32)
+    except Exception:  # pragma: no cover - "auto" under some AQE configs
+        return max(spark.sparkContext.defaultParallelism * 4, 32)
+
+
 def _hot_keys(fact: DataFrame, n_keys: int, threshold: int) -> DataFrame:
     """Keys whose fact row count exceeds the threshold (the reference's
     GroupAndCountFrequentItemEstimator.scala:21 strategy — exact and
@@ -369,7 +381,7 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
         obs, fact_proj = _salt(obs, fact_proj, n_keys, hot_key_threshold, salt_buckets)
         seg_cols = kcols + ["__nk", "__salt"]
 
-    b = num_buckets or max(obs.sparkSession.sparkContext.defaultParallelism * 4, 32)
+    b = num_buckets or _default_buckets(obs)
     bucket = F.pmod(F.xxhash64(*seg_cols), F.lit(b)).cast("int")
     obs_b = obs.withColumn("__b", bucket)
     fact_b = fact_proj.withColumn("__b", bucket)

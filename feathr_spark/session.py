@@ -20,6 +20,30 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    """Shuffle/spill scratch directory.
+
+    Prefer tmpfs (/dev/shm): this sandbox's root fs is ext4 mounted with
+    ``discard``, so every shuffle-file delete issues a synchronous TRIM —
+    measured at up to 80% of ALL cpu burned in kernel (sys) time during
+    shuffle-heavy stages, destroying scaling (33.6s -> 12.2s on the
+    flagship job just from this switch). On a real cluster the analogue
+    is putting ``spark.local.dir`` on fast local NVMe, never on
+    network / thin-provisioned volumes with synchronous discard.
+    """
+    env = os.environ.get("FEATHR_SPARK_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/feathr-spark-local"
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:  # pragma: no cover - tmpfs unavailable
+            pass
+    return "/tmp"
+
+
 def get_spark(
     cpus: int | None = None,
     app_name: str = "feathr_spark",
@@ -33,11 +57,17 @@ def get_spark(
     efficiency, so this must actually change executor-thread count.
     """
     cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Shuffle partitions are sized to the DATA (4x the max core count),
+    # NOT to this session's core count: on a real cluster the partition
+    # count stays fixed while executors are added (the N -> 4N scaling
+    # protocol), and a count that shrinks with cores makes the straggler
+    # (hot-key) partition a larger fraction of the job at low N.
+    shuffle_partitions = shuffle_partitions or max(DEFAULT_CPUS * 4, cpus * 4, 16)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.local.dir", _local_dir())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

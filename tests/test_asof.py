@@ -75,3 +75,23 @@ def test_asof_duckdb_oracle(spark, strategy):
     assert np.array_equal(a, b)
     assert (got["asof_source"].fillna("∅").to_numpy()
             == oracle["asof_source"].fillna("∅").to_numpy()).all()
+
+
+def test_asof_salted_cogroup_parity(spark):
+    """Salted cogroup (hot-key fact replication) must equal the union
+    strategy row-for-row on the skewed corpus."""
+    fact, obs = corpus(spark, sf=0.0005)
+    kw = dict(obs_ts_format="epoch", fact_ts_format="epoch")
+    base = asof_join(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                     ["n_tok as a_n_tok", "source as a_src"],
+                     strategy="union", **kw).orderBy("obs_id").toPandas()
+    salted = asof_join(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                       ["n_tok as a_n_tok", "source as a_src"],
+                       strategy="cogroup", hot_key_threshold=20, salt_buckets=4,
+                       **kw).orderBy("obs_id").toPandas()
+    assert len(base) == len(salted)
+    a = base["a_n_tok"].astype("float").fillna(-1).to_numpy()
+    b = salted["a_n_tok"].astype("float").fillna(-1).to_numpy()
+    assert np.array_equal(a, b)
+    assert (base["a_src"].fillna("∅").to_numpy()
+            == salted["a_src"].fillna("∅").to_numpy()).all()
