@@ -665,6 +665,31 @@ def q_rollup_distinct_daily(spark, sf_dir):
     return out["1d"].select("bucket_start", "n_distinct")
 
 
+def q_swa_lateral(spark, sf_dir):
+    """SWA over a LATERAL VIEW explode of an array-valued fact column,
+    through the full planner path (Anchor.lateral_view -> SWA stage):
+    the reference's FeatureTransformer.scala:51-64 semantics."""
+    from feathr_spark.definitions import (Anchor, ObservationSettings, Source,
+                                          SWAFeature, WindowSpec)
+    from feathr_spark.plans.planner import join_features
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select((F.col("vec_id") % 50).alias("k"),
+                   (F.lit(1_700_000_000) + F.col("vec_id") * 60).alias("ts"),
+                   "vec_id", "embedding")
+    obs = e.select("vec_id", "k", "ts")
+    src = Source(path="emb_ts", timestamp_col="ts", timestamp_format="epoch")
+    anchor = Anchor(
+        "emb", src, keys=["k"],
+        features=[SWAFeature("elem_sum_2h", "SUM", "elem", WindowSpec(7200)),
+                  SWAFeature("elem_cnt_2h", "COUNT", "elem", WindowSpec(7200))],
+        lateral_view="explode(embedding)", lateral_view_alias="elem")
+    out = join_features(spark, obs, ObservationSettings(keys=["k"], timestamp_col="ts"),
+                        [anchor], source_cache={"emb_ts": e})
+    return out.select("vec_id", F.round("elem_sum_2h", 4).alias("elem_sum_2h"),
+                      F.col("elem_cnt_2h").cast("long").alias("elem_cnt_2h"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -711,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "ann_lsh": q_ann_lsh,
         "rollup_distinct_daily": q_rollup_distinct_daily,
+        "swa_lateral": q_swa_lateral,
     }
 
 
@@ -1052,6 +1078,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_distinct
             FROM events
             GROUP BY 1
+        """,
+        "swa_lateral": """
+            WITH e AS (
+                SELECT vec_id % 50 AS k, 1700000000 + vec_id * 60 AS ts, vec_id, embedding
+                FROM embeddings
+            ), x AS (
+                SELECT k, ts, unnest(embedding)::DOUBLE AS elem FROM e
+            )
+            SELECT o.vec_id, round(sum(x.elem), 4) AS elem_sum_2h,
+                   count(x.elem) AS elem_cnt_2h
+            FROM e o LEFT JOIN x ON x.k = o.k
+             AND x.ts > o.ts - 7200 AND x.ts <= o.ts
+            GROUP BY o.vec_id
         """,
         # minhash_clusters / simhash_pairs / knn_bruteforce / ann_lsh:
         # rows-only checks (xxhash64 signatures / approximate recall)

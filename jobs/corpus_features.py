@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: corpus feature-vector pipeline.
+
+Deploy::
+
+    python -m feathr_spark.package dist/feathr_spark.zip
+    spark-submit --py-files dist/feathr_spark.zip jobs/corpus_features.py \
+        join --fact /data/corpus.parquet --obs /data/observations.parquet \
+             --output /data/feature_vectors
+
+Modes
+-----
+``join``         point-in-time SWA feature battery + as-of token lookup
+                 onto the observation table; writes one parquet output.
+``materialize``  per-cutoff snapshot generation with lineage manifests;
+                 re-running resumes, skipping committed partitions.
+
+With ``--synthesize SF`` the deterministic corpus generator replaces the
+input paths (same generator at any scale — the 10^12-row cluster run
+only changes SF and paths). On a cluster, pass real table paths; the
+zipf-hot doc_id handling (salting) and partition sizing are identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Under spark-submit the package arrives via --py-files; standalone runs
+# resolve it from the repo checkout next to jobs/.
+try:  # noqa: SIM105
+    import feathr_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _feature_battery():
+    from feathr_spark import SWAFeature, WindowSpec
+    d = 86_400
+    return [
+        SWAFeature("tok_sum_1d", "SUM", "n_tok", WindowSpec(d)),
+        SWAFeature("seq_cnt_1d", "COUNT", "n_tok", WindowSpec(d)),
+        SWAFeature("tok_avg_7d", "AVG", "n_tok", WindowSpec(7 * d)),
+        SWAFeature("tok_max_7d", "MAX", "n_tok", WindowSpec(7 * d)),
+        SWAFeature("tok_min_7d", "MIN", "n_tok", WindowSpec(7 * d)),
+        SWAFeature("src_cnt_7d", "COUNT_DISTINCT", "source", WindowSpec(7 * d)),
+        SWAFeature("web_cnt_1d", "COUNT", "n_tok", WindowSpec(d), filter="source = 'web'"),
+        SWAFeature("tok_latest_7d", "LATEST", "n_tok", WindowSpec(7 * d)),
+        SWAFeature("since_last_s", "TIMESINCE", "n_tok", WindowSpec(7 * d)),
+    ]
+
+
+def _load(spark, args):
+    if args.synthesize is not None:
+        from feathr_spark.datagen import corpus
+        fact, obs = corpus(spark, sf=args.synthesize)
+    else:
+        fact = spark.read.parquet(args.fact)
+        obs = spark.read.parquet(args.obs) if args.obs else None
+    return fact, obs
+
+
+def cmd_join(spark, args) -> dict:
+    from feathr_spark import asof_join, join_window_agg_features
+
+    fact, obs = _load(spark, args)
+    if obs is None:
+        raise SystemExit("join mode requires --obs (or --synthesize)")
+    hot = args.hot_key_threshold
+    t0 = time.monotonic()
+    vec = join_window_agg_features(
+        obs, fact, [args.key], [args.key], args.obs_ts, args.fact_ts,
+        _feature_battery(), obs_ts_format=args.ts_format,
+        fact_ts_format=args.ts_format, strategy="cogroup",
+        hot_key_threshold=hot, salt_buckets=args.salt_buckets)
+    out = asof_join(
+        vec, fact, [args.key], [args.key], args.obs_ts, args.fact_ts,
+        ["tokens as last_tokens", "n_tok as last_n_tok"],
+        obs_ts_format=args.ts_format, fact_ts_format=args.ts_format,
+        strategy="cogroup", hot_key_threshold=hot, salt_buckets=args.salt_buckets)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    wall = time.monotonic() - t0
+    return {"mode": "join", "rows": n, "wall_s": round(wall, 2),
+            "rows_per_sec": round(n / wall, 1), "output": args.output}
+
+
+def cmd_materialize(spark, args) -> dict:
+    from feathr_spark.materialize import BackfillTime, GenSpec, materialize
+
+    fact, _ = _load(spark, args)
+    spec = GenSpec(keys=[args.key], key_names=[args.key], ts_col=args.fact_ts,
+                   features=_feature_battery(), ts_format=args.ts_format)
+    bf = BackfillTime(args.backfill_start, args.backfill_end, args.backfill_step)
+    report = materialize(fact, spec, args.output, bf,
+                         inputs=[args.fact or f"synthetic sf={args.synthesize}"])
+    report["mode"] = "materialize"
+    return report
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="mode", required=True)
+    common = dict(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    for name in ("join", "materialize"):
+        p = sub.add_parser(name, **common)
+        p.add_argument("--fact", help="fact table path (doc_id, tokens, n_tok, source, event_ts)")
+        p.add_argument("--obs", help="observation table path (doc_id, ts, ...)")
+        p.add_argument("--output", required=True)
+        p.add_argument("--synthesize", type=float, default=None,
+                       help="replace inputs with the deterministic corpus at this SF")
+        p.add_argument("--key", default="doc_id")
+        p.add_argument("--obs-ts", default="ts")
+        p.add_argument("--fact-ts", default="event_ts")
+        p.add_argument("--ts-format", default="epoch")
+        p.add_argument("--hot-key-threshold", type=int, default=10_000)
+        p.add_argument("--salt-buckets", type=int, default=16)
+        p.add_argument("--cpus", type=int, default=None,
+                       help="local-mode cores (ignored under a real cluster master)")
+        if name == "materialize":
+            p.add_argument("--backfill-start", type=int, required=True)
+            p.add_argument("--backfill-end", type=int, required=True)
+            p.add_argument("--backfill-step", type=int, default=86_400)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    # Under spark-submit the session config comes from the submit command;
+    # standalone invocation builds the tuned local session.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from feathr_spark.session import get_spark
+        spark = get_spark(cpus=args.cpus, app_name="corpus_features")
+
+    report = cmd_join(spark, args) if args.mode == "join" else cmd_materialize(spark, args)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()
