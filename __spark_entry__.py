@@ -690,6 +690,40 @@ def q_swa_lateral(spark, sf_dir):
                       F.col("elem_cnt_2h").cast("long").alias("elem_cnt_2h"))
 
 
+def q_feature_stats(spark, sf_dir):
+    """Monitoring-processor stats: one scan, one row per feature."""
+    from feathr_spark.sources.sinks import feature_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = feature_stats(ev, ["value", "user_id"])
+    return out.select(
+        "feature", "n_rows", "n_null",
+        F.round("mean", 4).alias("mean"), F.round("stddev", 4).alias("stddev"),
+        F.round("min", 4).alias("min"), F.round("max", 4).alias("max"))
+
+
+def q_swa_slick(spark, sf_dir):
+    """Slick-trimmed SWA: only (uid, key, ts) shuffles through the
+    merge; the wide observation (here: all event columns incl. props)
+    re-joins by uid (OptimizerUtils.scala:92-105). Values must equal the
+    untrimmed formulation exactly."""
+    from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
+
+    ev = _t(spark, sf_dir, "events")
+    out = join_window_agg_features(
+        ev, ev, ["user_id"], ["user_id"], "ts", "ts",
+        [SWAFeature("s", "SUM", "value", WindowSpec(3600)),
+         SWAFeature("c", "COUNT", "value", WindowSpec(3600)),
+         SWAFeature("a", "AVG", "value", WindowSpec(3600))],
+        obs_ts_format="timestamp", fact_ts_format="timestamp", slick=True)
+    return out.select(
+        "event_id",
+        F.round("s", 4).alias("sum_1h"),
+        F.col("c").alias("cnt_1h"),
+        F.round("a", 6).alias("avg_1h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -737,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "rollup_distinct_daily": q_rollup_distinct_daily,
         "swa_lateral": q_swa_lateral,
+        "feature_stats": q_feature_stats,
+        "swa_slick": q_swa_slick,
     }
 
 
@@ -1092,6 +1128,19 @@ def oracle_sql() -> dict[str, str]:
              AND x.ts > o.ts - 7200 AND x.ts <= o.ts
             GROUP BY o.vec_id
         """,
+        "feature_stats": """
+            SELECT 'value' AS feature, count(*) AS n_rows,
+                   count(*) - count(value) AS n_null,
+                   round(avg(value), 4) AS mean, round(stddev_samp(value), 4) AS stddev,
+                   round(min(value), 4) AS min, round(max(value), 4) AS max
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   round(avg(user_id), 4), round(stddev_samp(user_id), 4),
+                   round(min(user_id), 4), round(max(user_id), 4)
+            FROM events
+        """,
+        "swa_slick": _SWA_BASIC_ORACLE,
         # minhash_clusters / simhash_pairs / knn_bruteforce / ann_lsh:
         # rows-only checks (xxhash64 signatures / approximate recall)
     }

@@ -61,13 +61,28 @@ def asof_join(
     suffix: str = "",
     hot_key_threshold: Optional[int] = None,
     salt_buckets: int = 8,
+    slick: bool = False,
 ) -> DataFrame:
     """Left as-of join: obs columns + ``value_cols`` from the matched fact row.
 
     ``value_cols`` may be SQL expressions aliased ``expr AS name``; plain
     column names pass through. ``suffix`` is appended to output names to
-    avoid clashes.
+    avoid clashes. ``slick=True`` trims the observation to (uid, keys,
+    ts) for the merge and joins the wide row back by uid.
     """
+    if slick:
+        from feathr_spark.operators.swa import _slick_wrap
+
+        return _slick_wrap(
+            obs, obs_keys, obs_ts,
+            lambda trimmed, keys, ts: asof_join(
+                trimmed, fact, keys, fact_keys, ts, fact_ts, value_cols,
+                obs_ts_format=obs_ts_format, fact_ts_format=fact_ts_format,
+                delay=delay, tolerance=tolerance, strategy=strategy,
+                suffix=suffix, hot_key_threshold=hot_key_threshold,
+                salt_buckets=salt_buckets, slick=False,
+            ),
+        )
     n_keys = len(obs_keys)
     delay_us = int(round(delay * MICROS))
     tol_us = None if tolerance is None else int(round(tolerance * MICROS))

@@ -335,20 +335,44 @@ def _default_buckets(df: DataFrame) -> int:
         return max(spark.sparkContext.defaultParallelism * 4, 32)
 
 
-def _hot_keys(fact: DataFrame, n_keys: int, threshold: int) -> DataFrame:
-    """Keys whose fact row count exceeds the threshold (the reference's
-    GroupAndCountFrequentItemEstimator.scala:21 strategy — exact and
-    cheap as a map-side-combined count)."""
+def _hot_keys(fact: DataFrame, n_keys: int, threshold: int,
+              method: str = "exact") -> DataFrame:
+    """Keys hot enough to salt. Estimator strategies mirror the
+    reference's FrequentItemEstimator family
+    (offline/join/util/*FrequentItemEstimator.scala):
+
+    - ``exact``: groupBy-count (GroupAndCountFrequentItemEstimator:21) —
+      exact, one map-side-combined shuffle of distinct keys.
+    - ``freq_items``: df.stat.freqItems single-pass streaming estimate
+      (SparkFrequentItemEstimator:41) — no shuffle, may over-report;
+      over-reporting only costs harmless extra salting.
+    Precomputed lists (PreComputedFrequentItemEstimator:20) are passed
+    straight to join_window_agg_features(hot_keys_df=...).
+    """
     kcols = _key_cols(n_keys)
-    return fact.groupBy(*kcols).count().where(F.col("count") > threshold).select(*kcols)
+    if method == "exact":
+        return fact.groupBy(*kcols).count().where(F.col("count") > threshold).select(*kcols)
+    if method == "freq_items":
+        n = fact.count()
+        if n == 0:
+            return fact.select(*kcols).limit(0)
+        support = max(threshold / n, 1e-4)
+        row = fact.stat.freqItems(kcols, support).first()
+        spark = fact.sparkSession
+        vals = list(zip(*[row[f"{c}_freqItems"] for c in kcols]))
+        schema = fact.select(*kcols).schema
+        return spark.createDataFrame([tuple(v) for v in vals] or [], schema)
+    raise ValueError(f"unknown hot-key estimator {method!r}")
 
 
-def _salt(obs: DataFrame, fact: DataFrame, n_keys: int, threshold: int, buckets: int):
+def _salt(obs: DataFrame, fact: DataFrame, n_keys: int, threshold: int, buckets: int,
+          method: str = "exact", hot_keys_df: Optional[DataFrame] = None):
     """Replicate hot-key fact rows into every salt bucket; hash hot-key
     observations into one bucket (SaltedSparkJoin.scala:88-130 scheme:
     the window per observation stays complete, parallelism fans out)."""
     kcols = _key_cols(n_keys)
-    hot = _hot_keys(fact, n_keys, threshold).withColumn("__hot", F.lit(True))
+    hot = (hot_keys_df if hot_keys_df is not None
+           else _hot_keys(fact, n_keys, threshold, method)).withColumn("__hot", F.lit(True))
     fact_h = fact.join(F.broadcast(hot), on=kcols, how="left")
     # explode can't sit inside when(); build hot/cold branches and union
     hot_fact = fact_h.where(F.col("__hot").isNotNull()).drop("__hot") \
@@ -369,7 +393,8 @@ def _salt(obs: DataFrame, fact: DataFrame, n_keys: int, threshold: int, buckets:
 
 def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_keys,
                  obs_schema, out_fields, hot_key_threshold, salt_buckets,
-                 num_buckets: Optional[int] = None) -> DataFrame:
+                 num_buckets: Optional[int] = None, hot_key_method: str = "exact",
+                 hot_keys_df: Optional[DataFrame] = None) -> DataFrame:
     """Cogroup by a bounded hash BUCKET of the key (not the key itself):
     the kernel merges every key in the bucket in one Arrow batch. This
     keeps the number of Python invocations O(buckets) while the shuffle
@@ -377,8 +402,9 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
     fragments into different buckets."""
     kcols = _key_cols(n_keys)
     seg_cols = kcols + ["__nk"]
-    if hot_key_threshold:
-        obs, fact_proj = _salt(obs, fact_proj, n_keys, hot_key_threshold, salt_buckets)
+    if hot_key_threshold or hot_keys_df is not None:
+        obs, fact_proj = _salt(obs, fact_proj, n_keys, hot_key_threshold or 0,
+                               salt_buckets, hot_key_method, hot_keys_df)
         seg_cols = kcols + ["__nk", "__salt"]
 
     b = num_buckets or _default_buckets(obs)
@@ -412,6 +438,41 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
 # ---------------------------------------------------------------------------
 
 
+def slick_trim(obs: DataFrame, exprs: Sequence[str]):
+    """The reference's "slick join" observation trim
+    (OptimizerUtils.scala:92-105 + DataFrameFeatureJoiner.scala:246-253):
+    pin a row uid, project only (uid, join keys, ts) into the feature
+    join, and join the wide observation back by uid afterwards — the
+    shuffle through the merge then moves a handful of columns instead of
+    the full observation row. ``localCheckpoint`` pins the
+    non-deterministic uid so retries / the two plan branches agree
+    (the reference notes the same hazard,
+    SequentialJoinAsDerivation.scala:125-129).
+
+    Returns (wide_obs_with_uid, trimmed_obs).
+    """
+    wide = obs.withColumn("_slick_uid", F.monotonically_increasing_id()).localCheckpoint()
+    trimmed = wide.select(
+        "_slick_uid", *[F.expr(e).alias(f"_slick_c{i}") for i, e in enumerate(exprs)]
+    )
+    return wide, trimmed
+
+
+def _slick_wrap(obs, obs_keys, obs_ts, inner):
+    """Run ``inner(trimmed_obs, key_names, ts_name)`` on the trimmed
+    projection, then join the produced feature columns back to the wide
+    observation by uid (left join: every obs row survives)."""
+    exprs = list(obs_keys) + [obs_ts]
+    wide, trimmed = slick_trim(obs, exprs)
+    key_names = [f"_slick_c{i}" for i in range(len(obs_keys))]
+    ts_name = f"_slick_c{len(obs_keys)}"
+    joined = inner(trimmed, key_names, ts_name)
+    new_cols = [c for c in joined.columns
+                if c not in trimmed.columns and not c.startswith("__")]
+    back = wide.join(joined.select("_slick_uid", *new_cols), on="_slick_uid", how="left")
+    return back.drop("_slick_uid")
+
+
 def join_window_agg_features(
     obs: DataFrame,
     fact: DataFrame,
@@ -428,13 +489,30 @@ def join_window_agg_features(
     hot_key_threshold: Optional[int] = None,
     salt_buckets: int = 8,
     num_buckets: Optional[int] = None,
+    slick: bool = False,
+    hot_key_method: str = "exact",
+    hot_keys_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Point-in-time sliding-window aggregation join.
 
     Returns ``obs`` with one new column per feature; observation rows
     with null keys / null timestamps or no in-window fact rows get null
-    (or the feature's declared default).
+    (or the feature's declared default). ``slick=True`` shuffles only
+    (uid, keys, ts) through the merge and re-joins the wide observation
+    afterwards — use when the observation carries wide payload columns.
     """
+    if slick:
+        return _slick_wrap(
+            obs, obs_keys, obs_ts,
+            lambda trimmed, keys, ts: join_window_agg_features(
+                trimmed, fact, keys, fact_keys, ts, fact_ts, features,
+                obs_ts_format=obs_ts_format, fact_ts_format=fact_ts_format,
+                strategy=strategy, prefilter_time_range=prefilter_time_range,
+                semi_join_fact=semi_join_fact, hot_key_threshold=hot_key_threshold,
+                salt_buckets=salt_buckets, num_buckets=num_buckets, slick=False,
+                hot_key_method=hot_key_method, hot_keys_df=hot_keys_df,
+            ),
+        )
     if len(obs_keys) != len(fact_keys):
         raise ValueError("obs_keys and fact_keys must have the same arity")
     clash = {f.name for f in features} & set(obs.columns)
@@ -490,7 +568,7 @@ def join_window_agg_features(
 
     if strategy == "auto":
         frame_ok = all(f.agg in FRAME_AGGS and f.group_by is None for f in features) \
-            and not hot_key_threshold
+            and not hot_key_threshold and hot_keys_df is None
         strategy = "union" if frame_ok else "cogroup"
 
     if strategy == "union":
@@ -498,9 +576,14 @@ def join_window_agg_features(
         helper = [c for c in joined.columns if c.startswith("__")]
         joined = joined.drop(*helper)
     elif strategy == "cogroup":
+        if hot_keys_df is not None:
+            # positional rename to the internal widened key columns
+            hot_keys_df = hot_keys_df.select(*[
+                F.col(c).alias(f"__k{i}") for i, c in enumerate(hot_keys_df.columns)])
         joined = _swa_cogroup(
             obs_main, fact_proj, features, metric_col, n_keys,
             obs.schema, out_fields, hot_key_threshold, salt_buckets, num_buckets,
+            hot_key_method, hot_keys_df,
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")

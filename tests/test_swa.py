@@ -236,3 +236,54 @@ def test_defaults_and_simulate_delay(toy):
     out = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats)
     vals = {r["obs_id"]: r["v_sum"] for r in out.collect()}
     assert vals[4] == 0.0 and vals[5] == 0.0 and vals[1] == 3.0
+
+
+def test_swa_slick_parity(spark):
+    """slick=True (uid-trimmed merge + wide join-back) must match the
+    direct formulation row-for-row, preserving all observation columns."""
+    from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
+    from feathr_spark.datagen import corpus
+
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [SWAFeature("s1", "SUM", "n_tok", WindowSpec(86400)),
+             SWAFeature("c1", "COUNT", "n_tok", WindowSpec(86400))]
+    kw = dict(obs_ts_format="epoch", fact_ts_format="epoch")
+    base = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats, **kw
+    ).orderBy("obs_id").toPandas()
+    slick = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats, slick=True, **kw
+    ).orderBy("obs_id").toPandas()
+    assert list(base.columns) == list(slick.columns)
+    assert len(base) == len(slick)
+    for c in ("obs_id", "label", "s1", "c1"):
+        a = base[c].astype("float").fillna(-1).to_numpy()
+        b = slick[c].astype("float").fillna(-1).to_numpy()
+        assert np.allclose(a, b), c
+
+
+def test_hot_key_estimators_agree(spark):
+    """freq_items and precomputed hot-key lists both produce correct
+    (parity with unsalted) results."""
+    from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
+    from feathr_spark.datagen import corpus
+
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [SWAFeature("s1", "SUM", "n_tok", WindowSpec(86400))]
+    kw = dict(obs_ts_format="epoch", fact_ts_format="epoch", strategy="cogroup")
+    base = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats, **kw
+    ).orderBy("obs_id").toPandas()
+    fi = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats,
+        hot_key_threshold=50, hot_key_method="freq_items", salt_buckets=4, **kw
+    ).orderBy("obs_id").toPandas()
+    pre = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats,
+        hot_keys_df=spark.createDataFrame([("doc_0",), ("doc_1",)], "doc_id string"),
+        salt_buckets=4, **kw
+    ).orderBy("obs_id").toPandas()
+    for other, tag in ((fi, "freq_items"), (pre, "precomputed")):
+        a = base["s1"].astype("float").fillna(-1).to_numpy()
+        b = other["s1"].astype("float").fillna(-1).to_numpy()
+        assert np.allclose(a, b), tag
