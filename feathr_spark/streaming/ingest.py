@@ -124,3 +124,64 @@ def stream_to_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_running_features(
+    stream_df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-entity
+    running feature state — (n_events, value_sum, latest_ts, latest_value)
+    — updated every micro-batch and emitted for keys seen in the batch.
+
+    This is the online-store feature-state shape the reference pushes to
+    Redis per batch (PushToRedisOutputProcessor); here the state lives in
+    the streaming state store (checkpointed, exactly-once across
+    restarts) and the emitted rows go to any sink. State per key is four
+    scalars — bounded regardless of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("entity", StringType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("latest_ts", DoubleType()),
+        StructField("latest_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("lts", DoubleType()),
+        StructField("lval", DoubleType()),
+    ])
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        n, s, lts, lval = state.get if state.exists else (0, 0.0, float("-inf"), None)
+        for pdf in pdf_iter:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce")
+            ts = pd.to_numeric(pdf[ts_col], errors="coerce")
+            ok = vals.notna() & ts.notna()
+            if ok.any():
+                n += int(ok.sum())
+                s += float(vals[ok].sum())
+                i = ts[ok].idxmax()
+                if float(ts[i]) >= lts:
+                    lts, lval = float(ts[i]), float(vals[i])
+        state.update((n, s, lts, lval))
+        yield pd.DataFrame([{
+            "entity": str(key_tuple[0]), "n_events": n, "value_sum": s,
+            "latest_ts": lts, "latest_value": lval,
+        }])
+
+    proj = stream_df.select(
+        F.expr(key).cast("string").alias("__entity"),
+        F.col(ts_col), F.col(value_col),
+    )
+    return proj.groupBy("__entity").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)

@@ -1,0 +1,56 @@
+"""Bucketed fact-table layout: shuffle elision checks.
+
+The plan property that matters at 100 TB: reading a table bucketed by
+the entity key satisfies ClusteredDistribution, so Window.partitionBy /
+groupBy / equi-joins on that key run WITHOUT an Exchange over the fact
+side. (The SWA union strategy still shuffles — Union output loses the
+child partitioning — so bucketing pays off in feature *generation*
+(groupBy), rollups, and snapshot equi-joins.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feathr_spark.sources.bucketed import read_bucketed_table, write_bucketed_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_events(spark, sf_dir, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("warehouse") / "t_ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    write_bucketed_table(ev, "t_ev_bucketed", ["user_id"], ["user_id", "ts_us"],
+                         num_buckets=8, path=loc)
+    yield read_bucketed_table(spark, "t_ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+
+
+def test_window_without_exchange(bucketed_events):
+    w = Window.partitionBy("user_id").orderBy("ts_us") \
+        .rangeBetween(-3_600_000_000 + 1, 0)
+    out = bucketed_events.withColumn("sum_1h", F.sum("value").over(w))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+
+
+def test_groupby_without_exchange(bucketed_events):
+    agg = bucketed_events.groupBy("user_id").agg(F.sum("value").alias("s"))
+    assert "Exchange" not in _plan(agg)
+
+
+def test_values_identical_to_plain_scan(spark, sf_dir, bucketed_events):
+    plain = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("s")) \
+        .orderBy("user_id").collect()
+    bucketed = bucketed_events.groupBy("user_id") \
+        .agg(F.round(F.sum("value"), 4).alias("s")).orderBy("user_id").collect()
+    assert plain == bucketed

@@ -6,7 +6,9 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from feathr_spark.definitions import Feature
 from feathr_spark.streaming import (
@@ -116,3 +118,42 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .dropDuplicatesWithinWatermark(["uid", "ts"])
     rows = _run_to_rows(spark, dedup, tmp_path, "dedup", mode="append")
     assert len(rows) == 2
+
+
+def test_stream_running_features_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running state == batch groupBy oracle."""
+    import pandas as pd
+
+    from feathr_spark.streaming.ingest import stream_running_features
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .load(f"{sf_dir}/events*")
+        .withColumn("ts_s", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double"))
+    )
+    out = stream_running_features(stream, "user_id", "ts_s", "value")
+    name = "t_running_state"
+    q = (
+        out.writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).toPandas()
+    # update mode may emit a key several times; last emission is final
+    got = got.groupby("entity").last().reset_index()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts_s", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double"))
+    oracle = ev.where(F.col("value").isNotNull()).groupBy(
+        F.col("user_id").cast("string").alias("entity")).agg(
+        F.count("value").alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.max_by("value", "ts_s").alias("latest_value"),
+    ).toPandas()
+    m = got.merge(oracle, on="entity", suffixes=("", "_o"))
+    assert len(m) == len(oracle)
+    assert (m["n_events"] == m["n_events_o"]).all()
+    assert np.allclose(m["value_sum"], m["value_sum_o"])
+    assert np.allclose(m["latest_value"], m["latest_value_o"])
