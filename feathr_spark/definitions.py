@@ -137,6 +137,12 @@ class Anchor:
     lateral_view: Optional[str] = None  # e.g. "explode(features)"
     lateral_view_alias: str = "lv"
     lateral_view_filter: Optional[str] = None
+    # observation-side key expressions for THIS anchor, overriding
+    # ObservationSettings.keys — the reference's key-tag aliasing, where
+    # different features join on different observation columns (e.g.
+    # viewer_id vs viewee_id; MultiStageJoinPlanner.scala:319-335 key
+    # tags + feature_derivations key aliases)
+    obs_keys: Optional[list] = None
 
 
 @dataclass(frozen=True)

@@ -91,7 +91,8 @@ def _apply_lateral_view(df: DataFrame, anchor: Anchor) -> DataFrame:
 def _source_key(anchor: Anchor) -> tuple:
     s = anchor.source
     return (s.path, s.fmt, tuple(sorted((s.options or {}).items())),
-            tuple(anchor.keys), anchor.lateral_view, anchor.lateral_view_filter)
+            tuple(anchor.keys), tuple(anchor.obs_keys or ()),
+            anchor.lateral_view, anchor.lateral_view_filter)
 
 
 def join_features(
@@ -141,7 +142,7 @@ def join_features(
         feats = [f for _, fs in grp for f in fs]
         out = join_window_agg_features(
             out, fact,
-            obs_keys=settings.keys, fact_keys=a0.keys,
+            obs_keys=a0.obs_keys or settings.keys, fact_keys=a0.keys,
             obs_ts=settings.timestamp_col, fact_ts=a0.source.timestamp_col,
             features=feats,
             obs_ts_format=settings.timestamp_format,
@@ -156,7 +157,7 @@ def join_features(
         anchor_dfs[a.name] = src
         if a.source.timestamp_col:
             out = asof_join(
-                out, src, settings.keys, a.keys,
+                out, src, a.obs_keys or settings.keys, a.keys,
                 settings.timestamp_col, a.source.timestamp_col,
                 [f"{f.expr} as {f.name}" for f in feats],
                 obs_ts_format=settings.timestamp_format,
@@ -169,7 +170,7 @@ def join_features(
                 *[F.expr(f.expr).alias(f.name) for f in feats],
             ).dropDuplicates(kcols)
             cond = None
-            for okey, kc in zip(settings.keys, kcols):
+            for okey, kc in zip(a.obs_keys or settings.keys, kcols):
                 c = F.expr(okey).eqNullSafe(F.col(kc)) & F.expr(okey).isNotNull()
                 cond = c if cond is None else (cond & c)
             out = out.join(proj, cond, "left").drop(*kcols)

@@ -143,3 +143,30 @@ def test_time_partitioned_scan(spark, tmp_path):
     assert len(pts) == 2  # partition time synthesized per day
     # schema drift reconciled: day1 rows carry null extra
     assert out.where("extra is null").count() == 3
+
+
+def test_per_anchor_obs_key_aliasing(spark):
+    """Features keyed by DIFFERENT observation columns (the reference's
+    key-tag aliasing): one anchor joins on sender, another on receiver."""
+    from feathr_spark.definitions import (Anchor, Feature, ObservationSettings,
+                                          Source)
+    from feathr_spark.plans.planner import join_features
+
+    obs = spark.createDataFrame(
+        [(1, "u1", "u2"), (2, "u2", "u3"), (3, "u3", "u9")],
+        "txn_id long, sender string, receiver string")
+    profiles = spark.createDataFrame(
+        [("u1", 10.0), ("u2", 20.0), ("u3", 30.0)], "uid string, score double")
+    src = Source(path="profiles")
+    anchors = [
+        Anchor("snd", src, keys=["uid"], features=[Feature("sender_score", "score")],
+               obs_keys=["sender"]),
+        Anchor("rcv", src, keys=["uid"], features=[Feature("receiver_score", "score")],
+               obs_keys=["receiver"]),
+    ]
+    out = join_features(
+        spark, obs, ObservationSettings(keys=["sender"], timestamp_col="txn_id"),
+        anchors, source_cache={"profiles": profiles},
+    ).orderBy("txn_id").collect()
+    assert [r["sender_score"] for r in out] == [10.0, 20.0, 30.0]
+    assert [r["receiver_score"] for r in out] == [20.0, 30.0, None]
