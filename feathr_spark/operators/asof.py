@@ -201,16 +201,28 @@ def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
             for vcol in vcols
         }
         outs = {name: np.full(n, None, dtype=object) for name in out_names}
-        for gi in range(len(o_starts)):
-            o0, o1 = o_starts[gi], o_ends[gi]
-            fl, fh = f_los[gi], f_his[gi]
-            if fh <= fl:
-                continue
-            idx, ok = kernels.asof_indices(fts[fl:fh], obs_ts[o0:o1], delay_us, tol_us)
+        # bucket-global fast path: one composite-key searchsorted for the
+        # whole bucket (kernels.global_asof_indices); per-key loop only on
+        # int64-composite overflow
+        g = kernels.global_asof_indices(fc_s, fts, oc_s, obs_ts, delay_us, tol_us) \
+            if nf else None
+        if g is not None:
+            idx, ok = g
             for vcol, name in zip(vcols, out_names):
-                picked = val_arrays[vcol][fl:fh][idx].copy()
+                picked = val_arrays[vcol][idx].copy()
                 picked[~ok] = None
-                outs[name][o0:o1] = picked
+                outs[name][:] = picked
+        else:
+            for gi in range(len(o_starts)):
+                o0, o1 = o_starts[gi], o_ends[gi]
+                fl, fh = f_los[gi], f_his[gi]
+                if fh <= fl:
+                    continue
+                idx, ok = kernels.asof_indices(fts[fl:fh], obs_ts[o0:o1], delay_us, tol_us)
+                for vcol, name in zip(vcols, out_names):
+                    picked = val_arrays[vcol][fl:fh][idx].copy()
+                    picked[~ok] = None
+                    outs[name][o0:o1] = picked
 
         result = obs_pdf.iloc[obs_ord][obs_out_cols].reset_index(drop=True)
         for name in out_names:

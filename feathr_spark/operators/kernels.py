@@ -274,6 +274,71 @@ def key_segments(obs_codes_sorted: np.ndarray, fact_codes_sorted: np.ndarray):
     return starts, ends, f_lo, f_hi
 
 
+def global_window_bounds(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
+                         ots: np.ndarray, width_us: int, delay_us: int):
+    """Window bounds for EVERY obs row of a bucket in two searchsorteds.
+
+    Inputs are the bucket-wide (key-code, ts)-lexsorted arrays. Keys and
+    timestamps are packed into one int64 composite ``code * span + (ts -
+    base)``; window-edge targets are clipped into ``[-1, span - 1]`` so a
+    window can never bleed into a neighboring key's band. Replaces the
+    per-key Python loop (one searchsorted pair per key) with O((n+m) log
+    n) total — the difference between ~1e5 numpy calls and 2 per bucket.
+
+    Returns (lo, hi) global indices, or None when the composite would
+    overflow int64 (caller falls back to the per-key path).
+    """
+    n_obs = len(ots)
+    if len(fts) == 0:
+        z = np.zeros(n_obs, dtype=np.int64)
+        return z, z
+    base = int(fts.min())
+    top = max(int(fts.max()), int(ots.max()) if n_obs else base)
+    span = top - base + 2
+    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
+    if span <= 0 or kmax > (2**62) // span:
+        return None
+    comp_f = fc * span + (fts - base)
+    t_lo = np.clip(ots - width_us - delay_us - base, -1, span - 1)
+    t_hi = np.clip(ots - delay_us - base, -1, span - 1)
+    lo = np.searchsorted(comp_f, oc * span + t_lo, side="right")
+    hi = np.searchsorted(comp_f, oc * span + t_hi, side="right")
+    return lo, hi
+
+
+def global_asof_indices(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
+                        ots: np.ndarray, delay_us: int = 0,
+                        tolerance_us: int | None = None):
+    """Bucket-wide as-of match: latest fact with the SAME key and
+    ``ts <= obs_ts - delay`` per obs row — one composite searchsorted;
+    a picked index from another key's band is rejected by the
+    key-equality check. Returns (idx, ok) or None on overflow."""
+    n_obs = len(ots)
+    if len(fts) == 0:
+        return np.zeros(n_obs, dtype=np.int64), np.zeros(n_obs, dtype=bool)
+    base = int(fts.min())
+    top = max(int(fts.max()), int(ots.max()) if n_obs else base)
+    span = top - base + 2
+    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
+    if span <= 0 or kmax > (2**62) // span:
+        return None
+    comp_f = fc * span + (fts - base)
+    t_hi = np.clip(ots - delay_us - base, -1, span - 1)
+    hi = np.searchsorted(comp_f, oc * span + t_hi, side="right")
+    idx = np.maximum(hi - 1, 0)
+    ok = (hi > 0) & (fc[idx] == oc)
+    if tolerance_us is not None:
+        ok &= fts[idx] > (ots - delay_us - tolerance_us)
+    return idx, ok
+
+
+def valid_mask(obj_arr: np.ndarray) -> np.ndarray:
+    """Vectorized non-null mask over an object array (None/NaN-aware)."""
+    if len(obj_arr) == 0:
+        return np.zeros(0, dtype=bool)
+    return ~pd.isna(pd.Series(obj_arr)).to_numpy()
+
+
 # ---------------------------------------------------------------------------
 # as-of join kernel helper
 # ---------------------------------------------------------------------------

@@ -270,14 +270,54 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
             outs[s["name"]] = np.full(n, None, dtype=object) if _is_object(s) \
                 else np.full(n, np.nan)
 
-        for gi in range(len(o_starts)):
+        # Bucket-global fast path: prefix-sum-able aggregates evaluate over
+        # the WHOLE bucket with composite-key searchsorted bounds — no
+        # per-key Python loop (the loop is ~1e5 tiny numpy calls per
+        # bucket; this is ~2 searchsorteds + one prefix sum per spec).
+        _global_aggs = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE"}
+
+        def _is_global(s):
+            return s["agg"] in _global_aggs and s["group_col"] is None
+
+        global_specs = [s for s in specs if _is_global(s)] if nf else []
+        gbounds = {}
+        for s in global_specs:
+            b = kernels.global_window_bounds(
+                fc_s, fact_ts, oc_s, obs_ts, s["width_us"], s["delay_us"])
+            if b is None:  # composite overflow -> per-key fallback
+                global_specs = []
+                gbounds = {}
+                break
+            gbounds[s["name"]] = b
+        loop_specs = [s for s in specs if s not in global_specs]
+
+        for s in global_specs:
+            name, agg = s["name"], s["agg"]
+            lo, hi = gbounds[name]
+            if agg == "LATEST":
+                vals = obj_cols[s["metric"]]
+                valid = kernels.valid_mask(vals)
+                idx, ok = kernels.agg_latest(vals, valid, lo, hi)
+                picked = vals[idx].copy()
+                picked[~ok] = None
+                outs[name][:] = picked
+            elif agg == "TIMESINCE":
+                outs[name][:] = kernels.agg_timesince(fact_ts, obs_ts, lo, hi)
+            else:
+                v = num_cols[s["metric"]]
+                fn = {"SUM": kernels.agg_sum, "COUNT": kernels.agg_count,
+                      "AVG": kernels.agg_avg, "MIN": kernels.agg_min,
+                      "MAX": kernels.agg_max}[agg]
+                outs[name][:] = fn(v, lo, hi)
+
+        for gi in range(len(o_starts)) if loop_specs else ():
             o0, o1 = o_starts[gi], o_ends[gi]
             fl, fh = f_los[gi], f_his[gi]
             if fh <= fl:
                 continue  # no facts for this key -> outputs stay null
             ots = obs_ts[o0:o1]
             fts = fact_ts[fl:fh]
-            for s in specs:
+            for s in loop_specs:
                 name, agg = s["name"], s["agg"]
                 lo, hi = kernels.window_bounds(fts, ots, s["width_us"], s["delay_us"])
                 if s["group_col"] is not None:
