@@ -88,13 +88,16 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
             obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts", feats,
             obs_ts_format="epoch", fact_ts_format="epoch", strategy="cogroup",
             hot_key_threshold=max(2000, n_obs // 50), salt_buckets=16,
+            prefilter_time_range=False,
         )
+        # union asof, UNsalted: token payload stays JVM-side; the hot-key
+        # sort partition is trivial for Tungsten while salting would
+        # replicate the hot keys' token arrays x buckets (measured 2.1x
+        # slower salted)
         out = asof_join(
             vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
             ["tokens as last_tokens", "n_tok as last_n_tok"],
-            obs_ts_format="epoch", fact_ts_format="epoch",
-            strategy="cogroup", hot_key_threshold=max(2000, n_obs // 50),
-            salt_buckets=16,
+            obs_ts_format="epoch", fact_ts_format="epoch", strategy="union",
         )
         _force(out)
 

@@ -114,7 +114,12 @@ def asof_join(
     vtypes = {f.name: f.dataType for f in fact_proj.schema.fields}
 
     if strategy == "union":
-        joined = _asof_union(obs_main, fact_proj, n_keys, vcols, delay_us, tol_us)
+        salted = bool(hot_key_threshold)
+        if salted:
+            obs_main, fact_proj = _salt(obs_main, fact_proj, n_keys,
+                                        hot_key_threshold, salt_buckets)
+        joined = _asof_union(obs_main, fact_proj, n_keys, vcols, delay_us, tol_us,
+                             salted=salted)
     elif strategy == "cogroup":
         joined = _asof_cogroup(obs_main, fact_proj, n_keys, vcols, vtypes,
                                obs.schema, out_names, delay_us, tol_us,
@@ -130,8 +135,16 @@ def asof_join(
     return joined
 
 
-def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
+def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False):
+    """Pure-JVM as-of: union + running-last window. With ``salted=True``
+    the window partitions on (key, salt) as well — hot-key fact rows were
+    replicated into every salt bucket by swa._salt, so each observation
+    still sees its key's full history while the hot key's sort fans out
+    across salt_buckets partitions. Keeps wide payload columns entirely
+    JVM-side (no Arrow round-trip), unlike the cogroup path."""
     kcols = _key_cols(n_keys)
+    if salted:
+        kcols = kcols + ["__salt"]
     obs_u = obs.withColumn("__is_obs", F.lit(1)) \
         .withColumn("__ts_eff", F.col("__ts") - F.lit(delay_us))
     fact_u = fact_proj.withColumn("__is_obs", F.lit(0)) \

@@ -95,3 +95,20 @@ def test_asof_salted_cogroup_parity(spark):
     assert np.array_equal(a, b)
     assert (base["a_src"].fillna("∅").to_numpy()
             == salted["a_src"].fillna("∅").to_numpy()).all()
+
+
+def test_asof_salted_union_parity(spark):
+    """Salted union strategy (window partitioned on (key, salt) with
+    hot-key fact replication) must equal the plain union."""
+    fact, obs = corpus(spark, sf=0.0005)
+    kw = dict(obs_ts_format="epoch", fact_ts_format="epoch")
+    base = asof_join(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                     ["n_tok as a_n_tok"], strategy="union", **kw) \
+        .orderBy("obs_id").toPandas()
+    salted = asof_join(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                       ["n_tok as a_n_tok"], strategy="union",
+                       hot_key_threshold=20, salt_buckets=4, **kw) \
+        .orderBy("obs_id").toPandas()
+    a = base["a_n_tok"].astype("float").fillna(-1).to_numpy()
+    b = salted["a_n_tok"].astype("float").fillna(-1).to_numpy()
+    assert np.array_equal(a, b)
