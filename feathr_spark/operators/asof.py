@@ -150,6 +150,9 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False):
     fact_u = fact_proj.withColumn("__is_obs", F.lit(0)) \
         .withColumn("__ts_eff", F.col("__ts")).withColumn("__fact_ts", F.col("__ts"))
     u = obs_u.unionByName(fact_u, allowMissingColumns=True)
+    # pin the window-stage task count (see swa._swa_union: AQE coalesces
+    # the window exchange into coarse waves otherwise)
+    u = u.repartition(_default_buckets(obs), *kcols, "__nk")
     # pack the fact payload into one struct so the matched ROW is picked
     # atomically (per-column last-non-null would mix values across rows)
     u = u.withColumn(
@@ -244,6 +247,9 @@ def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
 
     b = num_buckets or _default_buckets(obs)
     bucket = F.pmod(F.xxhash64(*seg_cols), F.lit(b)).cast("int")
-    obs_b = obs.withColumn("__b", bucket)
-    fact_b = fact_proj.withColumn("__b", bucket)
+    # explicit repartition: pin the kernel-stage task count at b (see
+    # swa._swa_cogroup — AQE would coalesce the bucket shuffle into a
+    # couple of fat waves and idle the tail)
+    obs_b = obs.withColumn("__b", bucket).repartition(b, "__b")
+    fact_b = fact_proj.withColumn("__b", bucket).repartition(b, "__b")
     return obs_b.groupBy("__b").cogroup(fact_b.groupBy("__b")).applyInPandas(kernel, out_schema)

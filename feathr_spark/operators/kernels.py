@@ -306,6 +306,67 @@ def global_window_bounds(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
     return lo, hi
 
 
+def global_count_distinct(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
+                          ots: np.ndarray, codes: np.ndarray,
+                          width_us: int, delay_us: int):
+    """Exact COUNT_DISTINCT for EVERY obs window of a bucket in O(n log n)
+    — no per-obs-row loop (the naive per-window ``np.unique`` is
+    O(rows x window) and was measured 78x slower than the prefix-sum
+    aggregates; a single 50k-row key made one bucket a 6s straggler).
+
+    The trick: a fact row k is the FIRST in-window occurrence of its
+    value — i.e. contributes 1 to the distinct count — iff the window's
+    exclusive lower bound L = T - width - delay satisfies
+    ``max(ts_k - width, prev_k) <= L < ts_k``, where ``prev_k`` is the
+    timestamp of the previous same-(key, value) fact. Each fact row thus
+    covers one INTERVAL of L values, and the answer per obs row is
+    interval-stabbing: ``#(starts <= L) - #(ends <= L)`` — two
+    searchsorteds over the whole bucket, keys kept apart by the same
+    composite ``key * span + offset`` packing as global_window_bounds.
+
+    ``codes``: int64 value codes per fact row (fact-sorted order), -1 for
+    null (nulls never count). Returns per-obs counts (0 when the window
+    has no non-null values — caller maps 0 to null), or None when the
+    composite would overflow int64 (caller falls back to the per-key path).
+    """
+    n_obs = len(ots)
+    if len(fts) == 0:
+        return np.zeros(n_obs, dtype=np.int64)
+    # base must reach below the smallest window start L: clipping L and
+    # the interval starts to a shared floor independently would reorder
+    # them (s_time in (L, base) would clip equal to an L below it)
+    base = int(fts.min())
+    if n_obs:
+        base = min(base, int(ots.min()) - width_us - delay_us)
+    top = max(int(fts.max()), int(ots.max()) if n_obs else base)
+    span = top - base + 3  # offsets shifted +1; 0 = "before everything"
+    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
+    if span <= 0 or kmax > (2**62) // span:
+        return None
+    nn = codes >= 0
+    fc_v, fts_v, code_v = fc[nn], fts[nn], codes[nn]
+    if len(fts_v) == 0:
+        return np.zeros(n_obs, dtype=np.int64)
+    # prev same-(key, value) timestamp; -inf (offset 0) for first occurrences
+    o2 = np.lexsort((fts_v, code_v, fc_v))
+    same = np.zeros(len(o2), dtype=bool)
+    same[1:] = (fc_v[o2][1:] == fc_v[o2][:-1]) & (code_v[o2][1:] == code_v[o2][:-1])
+    prev_off_sorted = np.zeros(len(o2), dtype=np.int64)
+    prev_off_sorted[1:] = np.where(same[1:], fts_v[o2][:-1] - base + 1, 0)
+    prev_off = np.empty(len(o2), dtype=np.int64)
+    prev_off[o2] = prev_off_sorted
+    # interval [s, e) of L-offsets in which row k is the window's first
+    # occurrence of its value
+    s_off = np.maximum(np.maximum(fts_v - width_us - base + 1, 0), prev_off)
+    e_off = fts_v - base + 1
+    starts = np.sort(fc_v * span + s_off)
+    ends = np.sort(fc_v * span + e_off)
+    l_off = np.clip(ots - width_us - delay_us - base + 1, 0, span - 1)
+    comp_l = oc * span + l_off
+    return (np.searchsorted(starts, comp_l, side="right")
+            - np.searchsorted(ends, comp_l, side="right"))
+
+
 def global_asof_indices(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
                         ots: np.ndarray, delay_us: int = 0,
                         tolerance_us: int | None = None):

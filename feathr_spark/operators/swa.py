@@ -138,17 +138,26 @@ def _apply_defaults(df: DataFrame, features: Sequence[SWAFeature]) -> DataFrame:
     return df
 
 
-def _time_prefilter(obs: DataFrame, fact: DataFrame, features: Sequence[SWAFeature]) -> DataFrame:
+def _time_prefilter(obs: DataFrame, fact: DataFrame, features: Sequence[SWAFeature],
+                    obs_time_range: Optional[tuple] = None) -> DataFrame:
     """Load fact only for the reachable time range — at scale this is the
-    partition-pruning predicate (reference: AnchorToDataSourceMapper.scala:115-128)."""
-    rng = obs.agg(F.min("__ts").alias("lo"), F.max("__ts").alias("hi")).first()
-    if rng is None or rng["lo"] is None:
-        return fact
+    partition-pruning predicate (reference: AnchorToDataSourceMapper.scala:115-128).
+
+    When obs is a raw scan the min/max action is cheap (parquet footer
+    stats); when it is a computed pipeline, pass ``obs_time_range``
+    (computed once upstream) to avoid re-executing the obs DAG here."""
+    if obs_time_range is not None:
+        lo, hi = obs_time_range
+    else:
+        rng = obs.agg(F.min("__ts").alias("lo"), F.max("__ts").alias("hi")).first()
+        if rng is None or rng["lo"] is None:
+            return fact
+        lo, hi = rng["lo"], rng["hi"]
     reach_back = max(f.window.width_us + f.window.delay_us for f in features)
     min_delay = min(f.window.delay_us for f in features)
     return fact.where(
-        (F.col("__ts") > F.lit(int(rng["lo"]) - reach_back))
-        & (F.col("__ts") <= F.lit(int(rng["hi"]) - min_delay))
+        (F.col("__ts") > F.lit(int(lo) - reach_back))
+        & (F.col("__ts") <= F.lit(int(hi) - min_delay))
     )
 
 
@@ -162,6 +171,11 @@ def _swa_union(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_key
     obs_u = obs.withColumn("__is_obs", F.lit(1))
     fact_u = fact_proj.withColumn("__is_obs", F.lit(0)).withColumn("__fact_ts", F.col("__ts"))
     unioned = obs_u.unionByName(fact_u, allowMissingColumns=True)
+    # pin the window-stage task count (AQE would coalesce the exchange
+    # into ~parallelism fat sort tasks — coarse waves, idle tail; see
+    # _swa_cogroup). HashPartitioning(kcols+__nk, b) satisfies the
+    # Window's ClusteredDistribution, so no second shuffle appears.
+    unioned = unioned.repartition(_default_buckets(obs), *kcols, "__nk")
 
     out = unioned
     for f in features:
@@ -274,25 +288,50 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
         # the WHOLE bucket with composite-key searchsorted bounds — no
         # per-key Python loop (the loop is ~1e5 tiny numpy calls per
         # bucket; this is ~2 searchsorteds + one prefix sum per spec).
-        _global_aggs = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE"}
+        # COUNT_DISTINCT has its own global form (interval-stabbing, see
+        # kernels.global_count_distinct) — the per-window np.unique loop
+        # was a measured 6s straggler on heavy-key buckets.
+        _global_aggs = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE",
+                        "COUNT_DISTINCT", "APPROX_COUNT_DISTINCT"}
+        _cd_aggs = {"COUNT_DISTINCT", "APPROX_COUNT_DISTINCT"}
 
         def _is_global(s):
             return s["agg"] in _global_aggs and s["group_col"] is None
 
         global_specs = [s for s in specs if _is_global(s)] if nf else []
         gbounds = {}
+        cd_counts = {}
+        overflow = False
         for s in global_specs:
-            b = kernels.global_window_bounds(
-                fc_s, fact_ts, oc_s, obs_ts, s["width_us"], s["delay_us"])
-            if b is None:  # composite overflow -> per-key fallback
-                global_specs = []
-                gbounds = {}
-                break
-            gbounds[s["name"]] = b
+            if s["agg"] in _cd_aggs:
+                codes, _ = pd.factorize(pd.Series(obj_cols[s["metric"]]),
+                                        use_na_sentinel=True)
+                cnt = kernels.global_count_distinct(
+                    fc_s, fact_ts, oc_s, obs_ts, codes.astype(np.int64),
+                    s["width_us"], s["delay_us"])
+                if cnt is None:
+                    overflow = True
+                    break
+                cd_counts[s["name"]] = cnt
+            else:
+                b = kernels.global_window_bounds(
+                    fc_s, fact_ts, oc_s, obs_ts, s["width_us"], s["delay_us"])
+                if b is None:
+                    overflow = True
+                    break
+                gbounds[s["name"]] = b
+        if overflow:  # composite overflow -> per-key fallback
+            global_specs = []
+            gbounds = {}
+            cd_counts = {}
         loop_specs = [s for s in specs if s not in global_specs]
 
         for s in global_specs:
             name, agg = s["name"], s["agg"]
+            if agg in _cd_aggs:
+                cnt = cd_counts[name]
+                outs[name][:] = np.where(cnt > 0, cnt.astype(np.float64), np.nan)
+                continue
             lo, hi = gbounds[name]
             if agg == "LATEST":
                 vals = obj_cols[s["metric"]]
@@ -393,6 +432,13 @@ def _hot_keys(fact: DataFrame, n_keys: int, threshold: int,
     if method == "exact":
         return fact.groupBy(*kcols).count().where(F.col("count") > threshold).select(*kcols)
     if method == "freq_items":
+        if n_keys != 1:
+            # per-column freqItems lists are independent and unaligned, so
+            # zipping them positionally would fabricate composite keys and
+            # miss real ones — composite keys must use exact/precomputed
+            raise ValueError("freq_items hot-key estimation supports single-column "
+                             "keys only; use method='exact' or hot_keys_df for "
+                             "composite keys")
         n = fact.count()
         if n == 0:
             return fact.select(*kcols).limit(0)
@@ -449,8 +495,16 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
 
     b = num_buckets or _default_buckets(obs)
     bucket = F.pmod(F.xxhash64(*seg_cols), F.lit(b)).cast("int")
-    obs_b = obs.withColumn("__b", bucket)
-    fact_b = fact_proj.withColumn("__b", bucket)
+    # explicit repartition pins the kernel-stage task count at b: AQE's
+    # partition coalescing otherwise merges the bucket shuffle down to
+    # ~max(defaultParallelism, bytes/64MB) fat tasks, quantizing the
+    # stage into 1-2 waves with idle cores at the tail (measured: 128
+    # buckets coalesced to 19 tasks of 6.4s at 16 cores — scaling
+    # efficiency 0.56). User repartition-by-num is exempt from AQE
+    # coalescing, and HashPartitioning(__b, b) satisfies the cogroup's
+    # ClusteredDistribution, so no second Exchange is added.
+    obs_b = obs.withColumn("__b", bucket).repartition(b, "__b")
+    fact_b = fact_proj.withColumn("__b", bucket).repartition(b, "__b")
 
     specs = [
         {
@@ -478,23 +532,46 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
 # ---------------------------------------------------------------------------
 
 
+_SLICK_UIDS = ["_slick_u1", "_slick_u2"]
+
+
 def slick_trim(obs: DataFrame, exprs: Sequence[str]):
     """The reference's "slick join" observation trim
     (OptimizerUtils.scala:92-105 + DataFrameFeatureJoiner.scala:246-253):
     pin a row uid, project only (uid, join keys, ts) into the feature
     join, and join the wide observation back by uid afterwards — the
     shuffle through the merge then moves a handful of columns instead of
-    the full observation row. ``localCheckpoint`` pins the
-    non-deterministic uid so retries / the two plan branches agree
-    (the reference notes the same hazard,
-    SequentialJoinAsDerivation.scala:125-129).
+    the full observation row.
 
-    Returns (wide_obs_with_uid, trimmed_obs).
+    The uid is CONTENT-DERIVED (two independent xxhash64 seeds over the
+    row = 128 bits — birthday-safe past 10^12 rows), not
+    ``monotonically_increasing_id``: a content hash is identical across
+    task retries and across the two plan branches that reference the
+    observation, so no ``localCheckpoint`` materialization is needed (at
+    100 TB a localCheckpoint is a full extra write of the wide
+    observation into executor storage AND is lost on executor death).
+    The reference flags the identical retry hazard
+    (SequentialJoinAsDerivation.scala:125-129); its stage-checkpoint
+    answer is the expensive one.
+
+    Rows that are bytewise-identical share a uid; the trimmed side is
+    deduped on uid, and since such rows carry identical keys/timestamps
+    their features are identical too, so the join-back gives every
+    duplicate the same (correct) feature row and preserves row count.
+    Map-typed columns are excluded from the hash (Spark cannot hash
+    maps); rows differing ONLY in map columns therefore share a uid,
+    which is harmless for the same reason.
+
+    Returns (wide_obs_with_uid, trimmed_obs_deduped).
     """
-    wide = obs.withColumn("_slick_uid", F.monotonically_increasing_id()).localCheckpoint()
+    hashable = [f.name for f in obs.schema.fields
+                if not isinstance(f.dataType, T.MapType)]
+    u1 = F.xxhash64(F.lit(0x51C4_0001), *[F.col(c) for c in hashable])
+    u2 = F.xxhash64(F.lit(0x51C4_0002), *[F.col(c) for c in hashable])
+    wide = obs.withColumn(_SLICK_UIDS[0], u1).withColumn(_SLICK_UIDS[1], u2)
     trimmed = wide.select(
-        "_slick_uid", *[F.expr(e).alias(f"_slick_c{i}") for i, e in enumerate(exprs)]
-    )
+        *_SLICK_UIDS, *[F.expr(e).alias(f"_slick_c{i}") for i, e in enumerate(exprs)]
+    ).dropDuplicates(_SLICK_UIDS)
     return wide, trimmed
 
 
@@ -509,8 +586,8 @@ def _slick_wrap(obs, obs_keys, obs_ts, inner):
     joined = inner(trimmed, key_names, ts_name)
     new_cols = [c for c in joined.columns
                 if c not in trimmed.columns and not c.startswith("__")]
-    back = wide.join(joined.select("_slick_uid", *new_cols), on="_slick_uid", how="left")
-    return back.drop("_slick_uid")
+    back = wide.join(joined.select(*_SLICK_UIDS, *new_cols), on=_SLICK_UIDS, how="left")
+    return back.drop(*_SLICK_UIDS)
 
 
 def join_window_agg_features(
@@ -532,6 +609,7 @@ def join_window_agg_features(
     slick: bool = False,
     hot_key_method: str = "exact",
     hot_keys_df: Optional[DataFrame] = None,
+    obs_time_range: Optional[tuple] = None,
 ) -> DataFrame:
     """Point-in-time sliding-window aggregation join.
 
@@ -540,7 +618,19 @@ def join_window_agg_features(
     (or the feature's declared default). ``slick=True`` shuffles only
     (uid, keys, ts) through the merge and re-joins the wide observation
     afterwards — use when the observation carries wide payload columns.
+
+    ``obs_time_range``: known ``(lo_us, hi_us)`` span of the observation
+    timestamps. When given, the fact time prefilter uses it directly
+    instead of running a min/max driver action over the observation —
+    pass it when obs is itself a computed pipeline (multi-stage plans),
+    where the action would re-execute the whole upstream DAG per stage.
     """
+    # clash check runs BEFORE the slick trim: the recursive call only sees
+    # the trimmed _slick_c* columns, so a feature named like a real
+    # observation column would silently duplicate after the join-back
+    clash = {f.name for f in features} & set(obs.columns)
+    if clash:
+        raise ValueError(f"feature names collide with observation columns: {sorted(clash)}")
     if slick:
         return _slick_wrap(
             obs, obs_keys, obs_ts,
@@ -551,13 +641,11 @@ def join_window_agg_features(
                 semi_join_fact=semi_join_fact, hot_key_threshold=hot_key_threshold,
                 salt_buckets=salt_buckets, num_buckets=num_buckets, slick=False,
                 hot_key_method=hot_key_method, hot_keys_df=hot_keys_df,
+                obs_time_range=obs_time_range,
             ),
         )
     if len(obs_keys) != len(fact_keys):
         raise ValueError("obs_keys and fact_keys must have the same arity")
-    clash = {f.name for f in features} & set(obs.columns)
-    if clash:
-        raise ValueError(f"feature names collide with observation columns: {sorted(clash)}")
     n_keys = len(obs_keys)
 
     obs2 = _with_keys_ts(obs, obs_keys, obs_ts, obs_ts_format)
@@ -594,7 +682,8 @@ def join_window_agg_features(
     fact_proj = fact2.select(*sel)
 
     if prefilter_time_range:
-        fact_proj = _time_prefilter(obs_main.where(F.col("__nk") == 0), fact_proj, features)
+        fact_proj = _time_prefilter(obs_main.where(F.col("__nk") == 0), fact_proj, features,
+                                    obs_time_range=obs_time_range)
     if semi_join_fact:
         fact_proj = fact_proj.join(
             obs_main.select(*_key_cols(n_keys)).dropDuplicates(), on=_key_cols(n_keys),

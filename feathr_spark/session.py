@@ -38,10 +38,38 @@ def _local_dir() -> str:
         d = "/dev/shm/feathr-spark-local"
         try:
             os.makedirs(d, exist_ok=True)
-            return d
+            _sweep_stale(d)
+            # tmpfs spills compete with the JVM heap for physical RAM: a
+            # killed JVM's leftover shuffle files once ate 50 GB here and
+            # OOM'd the next run. Only take the tmpfs fast path when it
+            # has real headroom; otherwise degrade to disk.
+            st = os.statvfs(d)
+            free_gb = st.f_bavail * st.f_frsize / 2**30
+            if free_gb >= 16:
+                return d
         except OSError:  # pragma: no cover - tmpfs unavailable
             pass
     return "/tmp"
+
+
+def _sweep_stale(d: str, max_age_s: int = 7200) -> None:
+    """Remove shuffle scratch left by crashed/killed JVMs (a graceful
+    spark.stop() cleans up; SIGKILL does not). Only entries untouched
+    for ``max_age_s`` are removed, so concurrent live sessions are safe."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            try:
+                if now - os.path.getmtime(p) > max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:  # pragma: no cover
+        pass
 
 
 def get_spark(
@@ -55,7 +83,14 @@ def get_spark(
     ``cpus`` controls ``local[N]`` parallelism — the bench harness runs
     the same job at two values (8 and 32) to evidence scaling
     efficiency, so this must actually change executor-thread count.
+
+    Under ``spark-submit --master yarn/k8s`` the cluster master is
+    already configured; it is NOT overridden unless the caller passes
+    ``cpus`` explicitly (a local-bench intent). Without that guard the
+    advertised --py-files deployment would silently run local-mode on
+    the driver.
     """
+    explicit_cpus = cpus is not None
     cpus = cpus or DEFAULT_CPUS
     # Shuffle partitions are sized to the DATA (4x the max core count),
     # NOT to this session's core count: on a real cluster the partition
@@ -63,9 +98,15 @@ def get_spark(
     # protocol), and a count that shrinks with cores makes the straggler
     # (hot-key) partition a larger fraction of the job at low N.
     shuffle_partitions = shuffle_partitions or max(DEFAULT_CPUS * 4, cpus * 4, 16)
+    from pyspark import SparkConf
+    preconfigured_master = (
+        SparkConf().contains("spark.master") or bool(os.environ.get("SPARK_MASTER"))
+    )
+    builder = SparkSession.builder.appName(app_name)
+    if explicit_cpus or not preconfigured_master:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.local.dir", _local_dir())
         .config("spark.sql.adaptive.enabled", "true")
@@ -74,7 +115,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("FEATHR_SPARK_DRIVER_MEM", "90g"))
+        # heap must leave room for tmpfs shuffle files (same physical RAM)
+        .config("spark.driver.memory", os.environ.get("FEATHR_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # runtime bloom-filter join: Spark-native replacement for the
         # reference's explicit bloom-filter semi-join reduction

@@ -57,10 +57,36 @@ def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def verify_no_fact_exchange(df: DataFrame, below_node: str = "Window") -> bool:
-    """True when the physical plan has no Exchange between the scan and
-    ``below_node`` on the bucketed branch — i.e. bucketing actually
-    removed the shuffle. Heuristic: count Exchange nodes in the final
-    plan string."""
+def verify_no_fact_exchange(df: DataFrame, scan_table: Optional[str] = None) -> bool:
+    """True when no Exchange sits between the bucketed scan and its
+    consumer — i.e. bucketing actually removed the fact-side shuffle.
+
+    With ``scan_table`` given, only the plan lines BETWEEN the root and
+    that table's scan line are inspected (an observation-side or
+    post-aggregation Exchange elsewhere in the plan is fine); without
+    it, the whole plan must be Exchange-free (single-branch plans).
+    """
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" not in plan
+    if scan_table is None:
+        return "Exchange" not in plan
+    lines = plan.splitlines()
+    scan_idx = [i for i, ln in enumerate(lines)
+                if "Scan" in ln and scan_table in ln]
+    if not scan_idx:
+        return False  # scan not found -> cannot verify
+    # plan strings print parents above children: an Exchange ABOVE the
+    # scan line at greater-or-equal indentation depth belongs to another
+    # branch; walk up from the scan following decreasing indentation
+    # (the ancestor chain) and fail on any Exchange ancestor.
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" +-:*"))
+
+    for si in scan_idx:
+        depth = indent(lines[si])
+        for i in range(si - 1, -1, -1):
+            d = indent(lines[i])
+            if d < depth:
+                depth = d
+                if "Exchange" in lines[i]:
+                    return False
+    return True

@@ -129,15 +129,19 @@ def main(argv=None) -> dict:
             p.add_argument("--backfill-step", type=int, default=86_400)
     args = ap.parse_args(argv)
 
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
     # Under spark-submit the session config comes from the submit command;
-    # standalone invocation builds the tuned local session.
+    # standalone invocation builds the tuned local session. --cpus only
+    # applies when no cluster master is configured (get_spark would
+    # otherwise honor the explicit override and run local on the driver).
     active = SparkSession.getActiveSession()
     if active is not None:
         spark = active
     else:
         from feathr_spark.session import get_spark
-        spark = get_spark(cpus=args.cpus, app_name="corpus_features")
+        cpus = None if SparkConf().contains("spark.master") else args.cpus
+        spark = get_spark(cpus=cpus, app_name="corpus_features")
 
     report = cmd_join(spark, args) if args.mode == "join" else cmd_materialize(spark, args)
     print(json.dumps(report))

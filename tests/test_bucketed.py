@@ -54,3 +54,21 @@ def test_values_identical_to_plain_scan(spark, sf_dir, bucketed_events):
     bucketed = bucketed_events.groupBy("user_id") \
         .agg(F.round(F.sum("value"), 4).alias("s")).orderBy("user_id").collect()
     assert plain == bucketed
+
+
+def test_verify_no_fact_exchange_branch_scoped(spark, sf_dir, bucketed_events):
+    """An observation-side Exchange must NOT fail the bucketed-branch
+    check: only an Exchange on the ancestor chain above the bucketed
+    scan counts (round-1 ADVICE: the old check failed on ANY Exchange)."""
+    from feathr_spark.sources.bucketed import verify_no_fact_exchange
+
+    obs = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .groupBy("user_id").agg(F.max("value").alias("mx"))  # forces an Exchange
+    joined = bucketed_events.join(obs, "user_id")
+    # whole-plan check fails (obs side shuffles) ...
+    assert not verify_no_fact_exchange(joined)
+    # ... but the bucketed branch itself is Exchange-free
+    assert verify_no_fact_exchange(joined, scan_table="t_ev_bucketed")
+    # and a genuinely shuffled fact branch is caught
+    reshuffled = bucketed_events.repartition(16, "value").join(obs, "user_id")
+    assert not verify_no_fact_exchange(reshuffled, scan_table="t_ev_bucketed")

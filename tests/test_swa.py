@@ -10,6 +10,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from feathr_spark import SWAFeature, WindowSpec
 from feathr_spark.datagen import corpus
@@ -287,3 +288,80 @@ def test_hot_key_estimators_agree(spark):
         a = base["s1"].astype("float").fillna(-1).to_numpy()
         b = other["s1"].astype("float").fillna(-1).to_numpy()
         assert np.allclose(a, b), tag
+
+
+def test_slick_no_checkpoint_and_duplicates(spark):
+    """slick uid is content-derived: no localCheckpoint (ExistingRDD scan)
+    in the plan, and bytewise-duplicate observation rows each survive the
+    join-back with identical (correct) features."""
+    from feathr_spark import join_window_agg_features
+
+    # inputs built from spark.range (plans as Range): createDataFrame from
+    # local rows ALSO scans as ExistingRDD, which would false-positive the
+    # checkpoint assertion below. Row (k=1, ts=10) is duplicated.
+    obs = spark.range(3).select(
+        F.when(F.col("id") < 2, 1).otherwise(2).cast("long").alias("k"),
+        F.when(F.col("id") < 2, 10).otherwise(25).cast("long").alias("ts"))
+    fact = spark.range(3).select(
+        F.when(F.col("id") < 2, 1).otherwise(2).cast("long").alias("k"),
+        F.element_at(F.array(F.lit(5), F.lit(9), F.lit(20)),
+                     (F.col("id") + 1).cast("int")).cast("long").alias("ts"),
+        F.element_at(F.array(F.lit(2.0), F.lit(3.0), F.lit(7.0)),
+                     (F.col("id") + 1).cast("int")).alias("v"))
+    feats = [SWAFeature("vsum", "SUM", "v", WindowSpec(100))]
+    out = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats,
+                                   slick=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, "localCheckpoint crept back into slick"
+    rows = sorted([(r["k"], r["ts"], r["vsum"]) for r in out.collect()])
+    assert rows == [(1, 10, 5.0), (1, 10, 5.0), (2, 25, 7.0)]
+
+
+def test_freq_items_composite_keys_rejected(spark):
+    from feathr_spark.operators.swa import _hot_keys, _with_keys_ts
+
+    fact = spark.createDataFrame([(1, "a", 5)], "k1 long, k2 string, ts long")
+    f2 = _with_keys_ts(fact, ["k1", "k2"], "ts", "epoch")
+    with pytest.raises(ValueError, match="single-column"):
+        _hot_keys(f2, 2, 10, method="freq_items")
+
+
+def test_global_count_distinct_matches_loop():
+    """Interval-stabbing COUNT_DISTINCT == the per-window np.unique
+    reference on randomized multi-key buckets (incl. nulls, delays,
+    obs keys with no facts, obs times outside the fact span)."""
+    import numpy as np
+    import pandas as pd
+
+    from feathr_spark.operators import kernels
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        nf, no, nk = 5000, 2000, 23
+        fc = np.sort(rng.integers(0, nk, nf))
+        fts_raw = rng.integers(0, 10**7, nf)
+        ordf = np.lexsort((fts_raw, fc)); fc, fts = fc[ordf], fts_raw[ordf]
+        oc = np.sort(rng.integers(0, nk + 3, no))
+        ots_raw = rng.integers(-10**5, int(1.1e7), no).astype(np.int64)
+        ordo = np.lexsort((ots_raw, oc)); oc, ots = oc[ordo], ots_raw[ordo]
+        vals = rng.integers(0, 12, nf).astype(object)
+        vals[rng.random(nf) < 0.1] = None
+        codes, _ = pd.factorize(pd.Series(vals), use_na_sentinel=True)
+        codes = codes.astype(np.int64)
+        W = int(rng.integers(10**5, 5 * 10**6))
+        D = int(rng.integers(0, 5 * 10**5)) if trial % 2 else 0
+        got = kernels.global_count_distinct(fc, fts, oc, ots, codes, W, D)
+        want = np.zeros(no, dtype=np.int64)
+        o_starts, o_ends, f_los, f_his = kernels.key_segments(oc, fc)
+        for gi in range(len(o_starts)):
+            o0, o1 = o_starts[gi], o_ends[gi]
+            fl, fh = f_los[gi], f_his[gi]
+            if fh <= fl:
+                continue
+            lo, hi = kernels.window_bounds(fts[fl:fh], ots[o0:o1], W, D)
+            c = codes[fl:fh]
+            for i in range(o1 - o0):
+                cc = c[lo[i]:hi[i]]
+                cc = cc[cc >= 0]
+                want[o0 + i] = len(np.unique(cc))
+        assert (got == want).all(), f"trial {trial}"
