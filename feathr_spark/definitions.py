@@ -88,6 +88,13 @@ class SWAFeature:
     group_by: Optional[str] = None
     limit: Optional[int] = None
     default: Any = None
+    # per-feature LATERAL VIEW (SlidingWindowDataDef.scala:83-86): the
+    # reference attaches the explode to each SWA feature, so two features
+    # with different explodes can share one source/anchor. Anchor-level
+    # lateral_view remains as sugar for features that leave these unset.
+    lateral_view: Optional[str] = None  # e.g. "explode(items)"
+    lateral_view_alias: Optional[str] = None
+    lateral_view_filter: Optional[str] = None
 
     def __post_init__(self):
         if self.agg not in AGG_TYPES:

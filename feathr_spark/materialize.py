@@ -209,6 +209,7 @@ def materialize(
     resume: bool = True,
     with_checksum: bool = True,
     inputs: Sequence[str] = (),
+    parallelism: int = 4,
 ) -> dict:
     """Materialize one snapshot partition per backfill cutoff under
     ``sink_path/cutoff=<epoch>/``, each committed by a lineage manifest.
@@ -218,21 +219,47 @@ def materialize(
     resumability); the data files for a partition are fully rewritten
     before its manifest appears, so a torn write is re-done, never
     half-trusted.
+
+    Each cutoff is ONE Spark action: row count and checksum are captured
+    by ``DataFrame.observe`` aggregate metrics inside the write job
+    itself (the reference's serial write → re-read-count → checksum-scan
+    triple executed each partition three times). Cutoffs are submitted
+    from a thread pool (``parallelism`` concurrent jobs) so a thousand
+    backfill steps don't serialize the cluster behind the driver — the
+    reference fans backfill out as parallel jobs the same way
+    (docs/concepts/materializing-features.md:61).
     """
-    written, skipped = [], []
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     t_run = time.monotonic()
-    total_rows = 0
+    todo, skipped = [], []
     for cutoff in backfill.cutoffs():
         part_dir = os.path.join(sink_path, f"cutoff={cutoff}")
         if resume and is_committed(part_dir):
             skipped.append(cutoff)
-            continue
+        else:
+            todo.append((cutoff, part_dir))
+
+    def _one(item):
+        cutoff, part_dir = item
         t0 = time.monotonic()
         out = generate_features(fact, spec, cutoff)
+        obs = Observation(f"materialize_{cutoff}")
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        if with_checksum:
+            cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in sorted(out.columns)]
+            metrics.append(
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum"))
+        out = out.observe(obs, *metrics)
         out.write.mode("overwrite").parquet(part_dir)
-        committed = out.sparkSession.read.parquet(part_dir)
-        n = committed.count()
-        checksum = order_independent_checksum(committed) if with_checksum else None
+        got = obs.get
+        n = int(got["rows"])
+        checksum = (int(got["checksum"]) % (1 << 64)
+                    if with_checksum and got.get("checksum") is not None else
+                    (0 if with_checksum else None))
         _commit(part_dir, {
             "partition": f"cutoff={cutoff}",
             "cutoff_epoch_s": cutoff,
@@ -245,8 +272,15 @@ def materialize(
             "completed_at_unix": int(time.time()),
             "engine": "feathr_spark",
         })
-        total_rows += n
-        written.append(cutoff)
+        return cutoff, n
+
+    if parallelism > 1 and len(todo) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            results = list(ex.map(_one, todo))
+    else:
+        results = [_one(it) for it in todo]
+    written = [c for c, _ in results]
+    total_rows = sum(n for _, n in results)
     return {
         "written": written,
         "skipped": skipped,

@@ -9,6 +9,13 @@ cardinality; null-key rows are split out and unioned back
 ``monotonically_increasing_id`` (non-deterministic across retries, noted
 at :125-129); we require the caller to name an existing unique id column
 instead — content-derived and retry-safe.
+
+ELEMENTWISE_* aggregations (SequentialJoinAsDerivation.scala:300-663 —
+the reference's Spark-UDAF family over array-valued expansion features)
+are pure JVM here: ``collect_list`` of the arrays per uid, then a
+higher-order ``aggregate``/``zip_with`` fold. Arrays must share one
+length per group (the reference's UDAFs assert the same;
+mismatched-length positions come out null via zip_with's null-padding).
 """
 
 from __future__ import annotations
@@ -18,7 +25,41 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LOOKUP_AGGS = {"SUM", "AVG", "MAX", "MIN", "UNION", "LATEST", "FIRST", "COUNT"}
+LOOKUP_AGGS = {"SUM", "AVG", "MAX", "MIN", "UNION", "LATEST", "FIRST", "COUNT",
+               "ELEMENTWISE_SUM", "ELEMENTWISE_AVG", "ELEMENTWISE_MAX",
+               "ELEMENTWISE_MIN"}
+
+_EW_MERGE = {
+    "ELEMENTWISE_SUM": lambda a, b: a + b,
+    "ELEMENTWISE_AVG": lambda a, b: a + b,  # sum now, divide by n after
+    "ELEMENTWISE_MAX": lambda a, b: F.greatest(a, b),
+    "ELEMENTWISE_MIN": lambda a, b: F.least(a, b),
+}
+
+
+def _elementwise_agg(grouped_src: DataFrame, uid_cols: Sequence[str],
+                     aggregation: str, out_name: str) -> DataFrame:
+    """Fold array-valued ``__val`` rows elementwise per uid group.
+
+    One groupBy (map-side combine on collect_list) + a codegen'd
+    ``aggregate`` fold seeded with the first array — no Python, no
+    explode blow-up. Output element type: double.
+    """
+    merge = _EW_MERGE[aggregation]
+    lists = grouped_src.groupBy(*uid_cols).agg(
+        F.collect_list("__val").alias("__vals"),
+        F.count("__val").alias("__n"),
+    )
+    vals = F.col("__vals")
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.zip_with(acc, x, merge),
+    )
+    if aggregation == "ELEMENTWISE_AVG":
+        folded = F.transform(folded, lambda x: x / F.col("__n"))
+    out = F.when(F.size(vals) > 0, folded)
+    return lists.select(*uid_cols, out.alias(out_name))
 
 
 def lookup_join(
@@ -38,8 +79,15 @@ def lookup_join(
     per ``uid_col``.
 
     ``aggregation``: UNION → collect_list, SUM/AVG/MAX/MIN/COUNT → the
-    numeric aggregate, FIRST/LATEST → arbitrary single value (FIRST) —
-    matching feathr_project/feathr/definition/aggregation.py:4-27.
+    numeric aggregate, FIRST/LATEST → arbitrary single value (FIRST),
+    ELEMENTWISE_SUM/AVG/MAX/MIN → elementwise fold over array-valued
+    expansion values — matching
+    feathr_project/feathr/definition/aggregation.py:4-27.
+
+    ``uid_col`` should be unique per observation row; duplicate uids are
+    deduped on the slim projection before the expansion join (duplicate
+    rows share all hashed content, so their aggregates are identical and
+    the join-back fans the one computed row to every duplicate).
     """
     aggregation = aggregation.upper()
     if aggregation not in LOOKUP_AGGS:
@@ -47,28 +95,35 @@ def lookup_join(
     if out_name in obs.columns:
         raise ValueError(f"output column {out_name} already exists")
 
-    work = obs.select(uid_col, F.col(base_key).alias("__bk"))
+    work = obs.select(uid_col, F.col(base_key).alias("__bk")).dropDuplicates([uid_col])
     if explode_base:
         work = work.select(uid_col, F.explode_outer("__bk").alias("__bk"))
 
     # null-key segregation: nulls never match and must not shuffle-skew
     matched = work.where(F.col("__bk").isNotNull())
+    val_expr = F.expr(expansion_value)
+    if aggregation.startswith("ELEMENTWISE_"):
+        val_expr = F.transform(val_expr, lambda x: x.cast("double"))
     exp = expansion.select(
         F.col(expansion_key).alias("__bk"),
-        F.expr(expansion_value).alias("__val"),
+        val_expr.alias("__val"),
     ).where(F.col("__bk").isNotNull())
     if broadcast_expansion:
         exp = F.broadcast(exp)
     joined = matched.join(exp, on="__bk", how="left")
 
-    if aggregation == "UNION":
-        agg = F.collect_list("__val")
-    elif aggregation == "COUNT":
-        agg = F.count("__val")
-    elif aggregation in ("FIRST", "LATEST"):
-        agg = F.first("__val", ignorenulls=True)
+    if aggregation.startswith("ELEMENTWISE_"):
+        per_uid = _elementwise_agg(joined.where(F.col("__val").isNotNull()),
+                                   [uid_col], aggregation, out_name)
     else:
-        agg = getattr(F, aggregation.lower())("__val")
-    per_uid = joined.groupBy(uid_col).agg(agg.alias(out_name))
+        if aggregation == "UNION":
+            agg = F.collect_list("__val")
+        elif aggregation == "COUNT":
+            agg = F.count("__val")
+        elif aggregation in ("FIRST", "LATEST"):
+            agg = F.first("__val", ignorenulls=True)
+        else:
+            agg = getattr(F, aggregation.lower())("__val")
+        per_uid = joined.groupBy(uid_col).agg(agg.alias(out_name))
 
     return obs.join(per_uid, on=uid_col, how="left")

@@ -31,6 +31,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from feathr_spark.definitions import (
     Anchor,
@@ -77,22 +78,33 @@ class FeatureGroups:
         return names
 
 
-def _apply_lateral_view(df: DataFrame, anchor: Anchor) -> DataFrame:
+def _apply_lateral_view(df: DataFrame, lv: Optional[str], alias: str,
+                        lv_filter: Optional[str]) -> DataFrame:
     """LATERAL VIEW explode(...) alias [WHERE ...] on the fact source
     (FeatureTransformer.scala:51-64)."""
-    if not anchor.lateral_view:
+    if not lv:
         return df
-    out = df.select("*", F.expr(anchor.lateral_view).alias(anchor.lateral_view_alias))
-    if anchor.lateral_view_filter:
-        out = out.where(F.expr(anchor.lateral_view_filter))
+    out = df.select("*", F.expr(lv).alias(alias))
+    if lv_filter:
+        out = out.where(F.expr(lv_filter))
     return out
+
+
+def _effective_lateral(anchor: Anchor, feat) -> tuple:
+    """Per-feature lateral view wins over the anchor-level one
+    (SlidingWindowDataDef.scala:83-86: the explode belongs to the
+    feature; anchor-level is this engine's sugar)."""
+    flv = getattr(feat, "lateral_view", None)
+    if flv:
+        return (flv, getattr(feat, "lateral_view_alias", None) or "lv",
+                getattr(feat, "lateral_view_filter", None))
+    return (anchor.lateral_view, anchor.lateral_view_alias, anchor.lateral_view_filter)
 
 
 def _source_key(anchor: Anchor) -> tuple:
     s = anchor.source
     return (s.path, s.fmt, tuple(sorted((s.options or {}).items())),
-            tuple(anchor.keys), tuple(anchor.obs_keys or ()),
-            anchor.lateral_view, anchor.lateral_view_filter)
+            tuple(anchor.keys), tuple(anchor.obs_keys or ()))
 
 
 def join_features(
@@ -114,15 +126,25 @@ def join_features(
     groups = FeatureGroups.classify(anchors)
     out = observation
     anchor_dfs: dict[str, DataFrame] = {}
+    # simulate_time_delay (reference settings.py:32-66): the observation
+    # is treated as if it happened `sim` seconds EARLIER, shifting every
+    # window and as-of lookup back by sim — implemented by folding the
+    # delay into each feature's WindowSpec / the as-of delay param, so
+    # the engines see ordinary delays (no timestamp rewriting).
+    sim = float(getattr(settings, "simulate_time_delay", 0.0) or 0.0)
 
-    def _load(anchor: Anchor) -> DataFrame:
+    def _load_raw(anchor: Anchor) -> DataFrame:
         path = anchor.source.path
         if source_cache and path in source_cache:
             df = anchor.source.preprocessing(source_cache[path]) \
                 if anchor.source.preprocessing else source_cache[path]
         else:
             df = load_source(spark, anchor.source)
-        return _apply_lateral_view(df, anchor)
+        return df
+
+    def _load(anchor: Anchor) -> DataFrame:
+        return _apply_lateral_view(_load_raw(anchor), anchor.lateral_view,
+                                   anchor.lateral_view_alias, anchor.lateral_view_filter)
 
     # (1) passthrough: expressions over observation columns directly
     # (MultiStageJoinPlanner.scala:87-90)
@@ -130,16 +152,28 @@ def join_features(
         for f in feats:
             out = out.withColumn(f.name, F.expr(f.expr))
 
-    # (2) window-agg stages: one engine call per (source, keys) group --
-    # the scan is shared and the time prefilter spans the max window
+    # (2) window-agg stages: one engine call per (source, keys,
+    # effective-lateral-view) group — the scan is shared and the time
+    # prefilter spans the max window. Features with different lateral
+    # views on the SAME anchor land in different stages (each needs its
+    # own explode), per-feature lateralView parity.
     swa_by_source: dict[tuple, list] = {}
     for a, feats in groups.window_agg:
-        swa_by_source.setdefault(_source_key(a), []).append((a, feats))
-    stages = sorted(swa_by_source.values(), key=lambda grp: sum(len(f) for _, f in grp))
+        for f in feats:
+            lv = _effective_lateral(a, f)
+            swa_by_source.setdefault((_source_key(a), lv), []).append((a, f))
+    stages = sorted(swa_by_source.values(), key=len)
     for grp in stages:
         a0 = grp[0][0]
-        fact = _load(a0)
-        feats = [f for _, fs in grp for f in fs]
+        lv0 = _effective_lateral(a0, grp[0][1])
+        fact = _apply_lateral_view(_load_raw(a0), *lv0)
+        feats = [f for _, f in grp]
+        if sim:
+            from dataclasses import replace
+
+            from feathr_spark.definitions import WindowSpec
+            feats = [replace(f, window=WindowSpec(f.window.width, f.window.delay + sim))
+                     for f in feats]
         out = join_window_agg_features(
             out, fact,
             obs_keys=a0.obs_keys or settings.keys, fact_keys=a0.keys,
@@ -162,6 +196,7 @@ def join_features(
                 [f"{f.expr} as {f.name}" for f in feats],
                 obs_ts_format=settings.timestamp_format,
                 fact_ts_format=a.source.timestamp_format,
+                delay=sim,
             )
         else:
             kcols = [f"__sk{i}" for i in range(len(a.keys))]
@@ -180,24 +215,39 @@ def join_features(
 
     # (4) sequential/lookup features over joined base values.
     # lookup_join references its obs twice (projection + join-back), so
-    # the row uid must be evaluated exactly once: monotonically_increasing_id
-    # is retry/branch nondeterministic (the reference flags the same hazard,
-    # SequentialJoinAsDerivation.scala:125-129) -> pin it with a local
-    # checkpoint, the planner analogue of the reference's stage checkpoints
+    # the row uid must be deterministic across the two plan branches AND
+    # across task retries: a content-derived 128-bit hash (two xxhash64
+    # seeds packed in a struct) is both, with no localCheckpoint
+    # materialization. monotonically_increasing_id is retry/branch
+    # nondeterministic — the reference flags the same hazard
+    # (SequentialJoinAsDerivation.scala:125-129). Bytewise-identical rows
+    # share a uid; lookup_join dedups on uid pre-join and fans the one
+    # (identical) result back to every duplicate. Map-typed columns are
+    # unhashable and excluded — rows differing only there share a uid,
+    # equally harmless.
     if lookups:
-        out = out.withColumn("__lk_uid", F.monotonically_increasing_id()).localCheckpoint()
+        hashable = [f.name for f in out.schema.fields
+                    if not isinstance(f.dataType, T.MapType)]
+        out = out.withColumn("__lk_uid", F.struct(
+            F.xxhash64(F.lit(0x100C_0001), *[F.col(c) for c in hashable]).alias("u1"),
+            F.xxhash64(F.lit(0x100C_0002), *[F.col(c) for c in hashable]).alias("u2"),
+        ))
     for lk in lookups:
         exp_anchor = next(a for a in anchors if a.name == lk.expansion_anchor)
         exp_df = anchor_dfs.get(lk.expansion_anchor)
         if exp_df is None:
             exp_df = _load(exp_anchor)
         exp_feat = next(f for f in exp_anchor.features if f.name == lk.expansion_feature)
+        # array-valued base features expand one row per element
+        # (SequentialJoinAsDerivation.scala:205-224 explode step)
+        base_dt = out.schema[lk.base_feature].dataType
         out = lookup_join(
             out, "__lk_uid", lk.base_feature,
             exp_df.select(F.expr(exp_anchor.keys[0]).alias("__ek"),
                           F.expr(exp_feat.expr).alias(lk.expansion_feature)),
             "__ek", lk.expansion_feature, lk.name,
             aggregation=lk.aggregation,
+            explode_base=isinstance(base_dt, T.ArrayType),
         )
     if lookups:
         out = out.drop("__lk_uid")

@@ -170,3 +170,92 @@ def test_per_anchor_obs_key_aliasing(spark):
     ).orderBy("txn_id").collect()
     assert [r["sender_score"] for r in out] == [10.0, 20.0, 30.0]
     assert [r["receiver_score"] for r in out] == [20.0, 30.0, None]
+
+
+def test_simulate_time_delay_wired(spark):
+    """settings.simulate_time_delay shifts every window back: with a 100s
+    sim delay, a fact row 50s before the observation falls OUT of the
+    window while one 150s before stays in."""
+    from pyspark.sql import functions as F
+
+    obs = spark.createDataFrame([(1, "u1", T0 + 1000)], "oid long, k string, ts long")
+    fact = spark.createDataFrame(
+        [("u1", T0 + 950, 5.0),    # 50s before obs: excluded under sim=100
+         ("u1", T0 + 850, 3.0)],   # 150s before obs: included
+        "k string, ts long, v double")
+    src = Source(path="mem", timestamp_col="ts")
+    anchor = Anchor("a", src, keys=["k"],
+                    features=[SWAFeature("s", "SUM", "v", WindowSpec(3600))])
+    out_plain = join_features(
+        spark, obs, ObservationSettings(keys=["k"], timestamp_col="ts"),
+        [anchor], source_cache={"mem": fact})
+    out_sim = join_features(
+        spark, obs,
+        ObservationSettings(keys=["k"], timestamp_col="ts", simulate_time_delay=100),
+        [anchor], source_cache={"mem": fact})
+    assert out_plain.first()["s"] == 8.0
+    assert out_sim.first()["s"] == 3.0
+
+
+def test_per_feature_lateral_view(spark):
+    """Two SWA features with DIFFERENT explodes share one anchor/source;
+    each must aggregate over its own exploded view
+    (SlidingWindowDataDef.scala:83-86)."""
+    obs = spark.createDataFrame([(1, "u1", T0 + 100)], "oid long, k string, ts long")
+    fact = spark.createDataFrame(
+        [("u1", T0 + 50, [1.0, 2.0], [10.0])],
+        "k string, ts long, xs array<double>, ys array<double>")
+    src = Source(path="mem", timestamp_col="ts")
+    anchor = Anchor("a", src, keys=["k"], features=[
+        SWAFeature("x_sum", "SUM", "x", WindowSpec(3600),
+                   lateral_view="explode(xs)", lateral_view_alias="x"),
+        SWAFeature("y_sum", "SUM", "y", WindowSpec(3600),
+                   lateral_view="explode(ys)", lateral_view_alias="y"),
+    ])
+    out = join_features(
+        spark, obs, ObservationSettings(keys=["k"], timestamp_col="ts"),
+        [anchor], source_cache={"mem": fact}).first()
+    assert out["x_sum"] == 3.0 and out["y_sum"] == 10.0
+
+
+def test_lookup_elementwise_avg(spark):
+    from feathr_spark.operators.lookup import lookup_join
+
+    obs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")], "uid long, bk string")
+    exp = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, 5.0])],
+        "ek string, arr array<double>")
+    out = lookup_join(obs, "uid", "bk", exp, "ek", "arr", "ew",
+                      aggregation="ELEMENTWISE_AVG")
+    got = {r["uid"]: r["ew"] for r in out.collect()}
+    assert got[1] == [2.0, 4.0]
+    assert got[2] == [5.0, 5.0]
+    assert got[3] is None
+
+
+def test_lookup_elementwise_sum_max_min(spark):
+    from feathr_spark.operators.lookup import lookup_join
+
+    obs = spark.createDataFrame([(1, "a")], "uid long, bk string")
+    exp = spark.createDataFrame(
+        [("a", [1.0, 9.0]), ("a", [4.0, 2.0])], "ek string, arr array<double>")
+    for agg, want in [("ELEMENTWISE_SUM", [5.0, 11.0]),
+                      ("ELEMENTWISE_MAX", [4.0, 9.0]),
+                      ("ELEMENTWISE_MIN", [1.0, 2.0])]:
+        out = lookup_join(obs, "uid", "bk", exp, "ek", "arr", "ew", aggregation=agg)
+        assert out.first()["ew"] == want, agg
+
+
+def test_kafka_options_plumbing(spark):
+    from feathr_spark.streaming.kafka import KafkaConfig, kafka_options
+
+    cfg = KafkaConfig(brokers=["b1:9092", "b2:9092"], topics=["t1", "t2"],
+                      starting_offsets="earliest", max_offsets_per_trigger=5000,
+                      options={"kafka.security.protocol": "SSL"})
+    opts = kafka_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["kafka.security.protocol"] == "SSL"
