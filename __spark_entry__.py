@@ -389,30 +389,55 @@ def q_pairwise_cosine(spark, sf_dir):
 
 
 def q_minhash_clusters(spark, sf_dir):
-    """Near-dup clustering (no SQL oracle: xxhash64 signatures)."""
+    """Near-dup clustering: MinHash-LSH candidates, exact-Jaccard
+    verification, fixpoint connected components. With exact verify the
+    emitted clusters depend only on the text, so a DuckDB oracle
+    recomputes them (all-pairs Jaccard + recursive-CTE closure)."""
     from feathr_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs.select("doc_id", "text"), threshold=0.7)
+    return minhash_lsh_dedup(docs.select("doc_id", "text"), threshold=0.7,
+                             verify="exact")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs verified by exact shingle-set Jaccard —
+    the banded-LSH path's output is oracle-checkable because the
+    emitted (pair, jaccard) depends only on the text."""
+    from feathr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs.select("doc_id", "text"), threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle: custom bit-mix)."""
-    from feathr_spark.operators.dedup import simhash, simhash_near_dup_pairs
+    """SimHash Hamming-band candidates verified by exact Jaccard
+    (candidate generation is hash-internal; the verified output is
+    text-deterministic and oracle-checkable)."""
+    from feathr_spark.operators.dedup import simhash_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(simhash(docs.select("doc_id", "text")), max_hamming=3)
+    # max_hamming=10: word-level edits flip several simhash bits, and the
+    # corpus' true near-dups (exact jaccard >= 0.7) measure hamming <= 8;
+    # 11 bands x 5 bits keeps the pigeonhole guarantee. At corpus scale
+    # trade recall for narrower bands (see simhash_near_dup_pairs).
+    out = simhash_verified_pairs(docs.select("doc_id", "text"),
+                                 max_hamming=10, threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
 def q_knn_bruteforce(spark, sf_dir):
-    """Exact top-3 cosine neighbors for the first 3 vectors (rows-only:
-    float32 ranking ties are not oracle-stable)."""
+    """Exact top-3 cosine neighbors for the first 3 vectors, scored in
+    float64 so the double-precision DuckDB oracle ranks identically
+    (ties break on ascending vec_id in both engines)."""
     from feathr_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = [r["embedding"] for r in emb.where(F.col("vec_id") < 3)
                .orderBy("vec_id").collect()]
-    return brute_force_topk(emb, queries, k=3)
+    out = brute_force_topk(emb, queries, k=3, dtype="float64")
+    return out.select("query_id", "vec_id", F.round("score", 5).alias("score"))
 
 
 def q_swa_multikey(spark, sf_dir):
@@ -458,20 +483,31 @@ def _emb_ts(spark, sf_dir):
 
 
 def q_swa_pooling(spark, sf_dir):
-    """Element-wise MAX_POOLING over array-valued metric in a 2h window
-    (embedding rows given synthetic entity keys + timestamps)."""
+    """Element-wise MAX/MIN/SUM/AVG_POOLING over an array-valued metric
+    in a 2h window (embedding rows given synthetic entity keys +
+    timestamps). Output is EXPLODED to scalar rows (vec_id, pos, ...)
+    so the harness canonicalizer can sort/hash it — array-typed columns
+    are unsortable in pandas."""
     from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
 
     e = _emb_ts(spark, sf_dir)
     obs = e.select("vec_id", "k", "ts")
     out = join_window_agg_features(
         obs, e, ["k"], ["k"], "ts", "ts",
-        [SWAFeature("p", "MAX_POOLING", "embedding", WindowSpec(7200))],
+        [SWAFeature("mx", "MAX_POOLING", "embedding", WindowSpec(7200)),
+         SWAFeature("mn", "MIN_POOLING", "embedding", WindowSpec(7200)),
+         SWAFeature("sm", "SUM_POOLING", "embedding", WindowSpec(7200)),
+         SWAFeature("av", "AVG_POOLING", "embedding", WindowSpec(7200))],
     )
-    return out.select(
-        "vec_id",
-        # + 0.0 normalizes IEEE negative zero (DuckDB round keeps -0.0)
-        F.transform("p", lambda x: F.round(x, 4) + F.lit(0.0)).alias("pooled"),
+    ex = out.select(
+        "vec_id", F.posexplode(F.arrays_zip("mx", "mn", "sm", "av")).alias("pos", "z"))
+    # + 0.0 normalizes IEEE negative zero (DuckDB round keeps -0.0)
+    return ex.select(
+        "vec_id", F.col("pos").cast("long").alias("pos"),
+        (F.round("z.mx", 4) + F.lit(0.0)).alias("max_p"),
+        (F.round("z.mn", 4) + F.lit(0.0)).alias("min_p"),
+        (F.round("z.sm", 4) + F.lit(0.0)).alias("sum_p"),
+        (F.round("z.av", 6) + F.lit(0.0)).alias("avg_p"),
     )
 
 
@@ -724,6 +760,45 @@ def q_swa_slick(spark, sf_dir):
     )
 
 
+def q_swa_sim_delay(spark, sf_dir):
+    """ObservationSettings.simulate_time_delay wired through the planner:
+    a 1h simulated delay shifts every window back by 1h (reference
+    feathr_project/feathr/definition/settings.py:32-66)."""
+    from feathr_spark.definitions import (Anchor, ObservationSettings, Source,
+                                          SWAFeature, WindowSpec)
+    from feathr_spark.plans.planner import join_features
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select("event_id", "user_id", "ts")
+    src = Source(path="events_mem", timestamp_col="ts", timestamp_format="timestamp")
+    anchor = Anchor("ev", src, keys=["user_id"],
+                    features=[SWAFeature("s", "SUM", "value", WindowSpec(86400))])
+    out = join_features(
+        spark, obs,
+        ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                            timestamp_format="timestamp", simulate_time_delay=3600),
+        [anchor], source_cache={"events_mem": ev})
+    return out.select("event_id", F.round("s", 4).alias("sum_1d_sim1h"))
+
+
+def q_lookup_elementwise(spark, sf_dir):
+    """ELEMENTWISE_AVG lookup aggregation: each document's bucket key
+    expands to the embeddings in that bucket; the arrays average
+    elementwise (SequentialJoinAsDerivation.scala:300-663 UDAF family).
+    Output exploded to scalar rows for canonicalization."""
+    from feathr_spark.operators.lookup import lookup_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(10)).alias("bucket"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.pmod(F.col("vec_id"), F.lit(10)).alias("bucket"), "embedding")
+    out = lookup_join(docs, "doc_id", "bucket", emb, "bucket", "embedding",
+                      "elem_avg", aggregation="ELEMENTWISE_AVG")
+    ex = out.select("doc_id", F.posexplode("elem_avg").alias("pos", "v"))
+    return ex.select("doc_id", F.col("pos").cast("long").alias("pos"),
+                     F.round("v", 6).alias("elem_avg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -753,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "pairwise_cosine": q_pairwise_cosine,
         "minhash_clusters": q_minhash_clusters,
+        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "swa_multikey": q_swa_multikey,
@@ -773,7 +849,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_lateral": q_swa_lateral,
         "feature_stats": q_feature_stats,
         "swa_slick": q_swa_slick,
+        "swa_sim_delay": q_swa_sim_delay,
+        "lookup_elementwise": q_lookup_elementwise,
     }
+
+
+# Exact 3-word-shingle Jaccard over normalized text — the DuckDB twin of
+# operators.text.shingles/shingle_hashes (same normalization: lowercase,
+# strip [^\w\s], collapse \s+, trim; Jaccard over DISTINCT shingles ==
+# Jaccard over distinct xxhash64(shingle) modulo 64-bit collisions).
+_SHINGLE_JACCARD_CTE = r"""
+    w AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(
+            trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                '\s+', ' ', 'g')),
+            '\s+'), x -> x <> '') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(words) - 2, 0) + 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+    ), jp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+"""
+
+_JACCARD_PAIRS_ORACLE = f"""
+    WITH {_SHINGLE_JACCARD_CTE}
+    SELECT id_a, id_b, round(j, 5) AS jaccard FROM jp WHERE j >= 0.7
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1003,14 +1111,55 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o.vec_id AS oid, f.embedding AS emb
                 FROM e o JOIN e f ON f.k = o.k
                  AND f.ts > o.ts - 7200 AND f.ts <= o.ts
-            ), grouped AS (
-                SELECT oid, list(emb) AS embs FROM pairs GROUP BY oid
+            ), ex AS (
+                SELECT oid, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS v
+                FROM pairs CROSS JOIN range(1, 65) r(i)
             )
-            SELECT oid AS vec_id,
-                   list_transform(range(1, 65),
-                       i -> round(CAST(list_max(list_transform(embs, e -> e[i])) AS DOUBLE), 4) + 0.0)
-                       AS pooled
-            FROM grouped
+            SELECT oid AS vec_id, CAST(pos AS BIGINT) AS pos,
+                   round(max(v), 4) + 0.0 AS max_p,
+                   round(min(v), 4) + 0.0 AS min_p,
+                   round(sum(v), 4) + 0.0 AS sum_p,
+                   round(avg(v), 6) + 0.0 AS avg_p
+            FROM ex GROUP BY oid, pos
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+            ), s AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(qv, cv)
+                       / greatest(sqrt(list_sum(list_transform(qv, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(cv, x -> x * x))), 1e-24) AS score
+                FROM q CROSS JOIN c
+            ), r AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rn
+                FROM s
+            )
+            SELECT query_id, vec_id, round(score, 5) AS score FROM r WHERE rn <= 3
+        """,
+        "swa_sim_delay": """
+            SELECT o.event_id, round(sum(f.value), 4) AS sum_1d_sim1h
+            FROM events o LEFT JOIN events f
+              ON f.user_id = o.user_id
+             AND epoch_us(f.ts) >  epoch_us(o.ts) - 3600000000 - 86400000000
+             AND epoch_us(f.ts) <= epoch_us(o.ts) - 3600000000
+            GROUP BY o.event_id
+        """,
+        "lookup_elementwise": """
+            WITH ex AS (
+                SELECT vec_id % 10 AS bucket, i - 1 AS pos,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+            ), ag AS (
+                SELECT bucket, pos, avg(v) AS m FROM ex GROUP BY bucket, pos
+            )
+            SELECT d.doc_id, CAST(ag.pos AS BIGINT) AS pos, round(ag.m, 6) AS elem_avg
+            FROM documents d JOIN ag ON ag.bucket = d.doc_id % 10
         """,
         "asof_tolerance": """
             SELECT o.event_id, round(arg_max(f.value, f.ts), 4) AS last_val
@@ -1141,6 +1290,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "swa_slick": _SWA_BASIC_ORACLE,
-        # minhash_clusters / simhash_pairs / knn_bruteforce / ann_lsh:
-        # rows-only checks (xxhash64 signatures / approximate recall)
+        "minhash_pairs": _JACCARD_PAIRS_ORACLE,
+        "simhash_pairs": _JACCARD_PAIRS_ORACLE,
+        "minhash_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_JACCARD_CTE},
+            edges(ia, ib) AS (
+                SELECT id_a, id_b FROM jp WHERE j >= 0.7
+                UNION ALL
+                SELECT id_b, id_a FROM jp WHERE j >= 0.7
+            ),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.ib FROM reach r JOIN edges e ON e.ia = r.dst
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+        """,
+        # ann_lsh: rows-only (approximate recall is seed/probe-dependent,
+        # not SQL-expressible; exact-top-k parity is covered by
+        # knn_bruteforce's green oracle)
     }

@@ -59,13 +59,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    dtype: str = "float32",
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     Returns (query_id, vec_id, score) with exactly k rows per query
-    (fewer if the corpus is smaller).
+    (fewer if the corpus is smaller). Ties break on ascending id.
+
+    ``dtype``: float32 (default — half the matmul bandwidth, the 100 TB
+    setting) or float64 (bit-matches a double-precision SQL oracle).
     """
-    q = np.asarray(queries, dtype=np.float32)
+    np_dtype = np.float64 if dtype == "float64" else np.float32
+    q = np.asarray(queries, dtype=np_dtype)
     if metric == "cosine":
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     spark = corpus.sparkSession
@@ -77,7 +82,7 @@ def brute_force_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)  # (n, d)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np_dtype)  # (n, d)
             if metric == "cosine":
                 mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             scores = qm @ mat.T  # (nq, n)

@@ -137,3 +137,35 @@ def test_simhash_near_dups(spark, near_dup_corpus):
 def test_simhash_deterministic_across_runs(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
     assert simhash(df).first()["simhash"] == simhash(df).first()["simhash"]
+
+
+def test_connected_components_long_chain(spark):
+    """A diameter-6 chain must collapse to ONE component (the round-1
+    fixed-3-rounds defect); a second disjoint pair stays separate."""
+    from feathr_spark.operators.dedup import connected_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)] + [(10, 11)], "id_a long, id_b long")
+    edges = e.unionByName(
+        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 8)) + [10, 11, 20]], "id long")
+    labels = {r["id"]: r["rep"] for r in connected_components(edges, nodes).collect()}
+    assert all(labels[i] == 1 for i in range(1, 8))
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == 20  # isolated node keeps itself
+
+
+def test_minhash_dedup_chain_converges(spark):
+    """Near-dup CHAIN (a~b, b~c, c~d ... but a!~d) clusters to one rep —
+    requires fixpoint propagation, not a fixed round budget."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four").split()
+    rows = []
+    for i in range(7):  # doc i = 24-word slice starting at   i -> chain
+        rows.append((i + 1, " ".join(base[i: i + 24])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["cluster_rep"]
+              for r in minhash_lsh_dedup(df, threshold=0.3).collect()}
+    assert set(labels.values()) == {1}, labels
