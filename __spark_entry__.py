@@ -799,6 +799,33 @@ def q_lookup_elementwise(spark, sf_dir):
                      F.round("v", 6).alias("elem_avg"))
 
 
+def q_swa_custom_agg(spark, sf_dir):
+    """User-registered RANGE (max - min) aggregation through the public
+    register_aggregation surface — the reference's ComplexAggregation /
+    custom-UDAF parity (TimeWindowFeatureDefinition.scala:24-27). The fn
+    is vectorized numpy over per-key window slices and runs inside the
+    cogroup Arrow kernel; RANGE is SQL-expressible, so a DuckDB oracle
+    value-checks the whole custom-agg plumbing."""
+    import numpy as np
+
+    from feathr_spark import SWAFeature, WindowSpec
+    from feathr_spark.definitions import CUSTOM_AGGS, register_aggregation
+
+    if "RANGE" not in CUSTOM_AGGS:
+        def value_range(values, ts, lo, hi):
+            from feathr_spark.operators import kernels
+            v = np.array([np.nan if x is None else float(x) for x in values],
+                         dtype=np.float64)
+            r = kernels.agg_max(v, lo, hi) - kernels.agg_min(v, lo, hi)
+            return np.where(np.isnan(r), None, np.round(r, 4))
+
+        register_aggregation("RANGE", value_range, dtype="double")
+    out = _swa(spark, sf_dir,
+               [SWAFeature("vrange", "RANGE", "value", WindowSpec(86400))],
+               strategy="cogroup")
+    return out.select("event_id", "vrange")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -851,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_slick": q_swa_slick,
         "swa_sim_delay": q_swa_sim_delay,
         "lookup_elementwise": q_lookup_elementwise,
+        "swa_custom_agg": q_swa_custom_agg,
     }
 
 
@@ -1290,6 +1318,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "swa_slick": _SWA_BASIC_ORACLE,
+        "swa_custom_agg": f"""
+            SELECT o.event_id,
+                   round(max(f.value) - min(f.value), 4) AS vrange
+            FROM events o LEFT JOIN events f ON {win_1d}
+            GROUP BY o.event_id
+        """,
         "minhash_pairs": _JACCARD_PAIRS_ORACLE,
         "simhash_pairs": _JACCARD_PAIRS_ORACLE,
         "minhash_clusters": f"""

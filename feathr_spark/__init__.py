@@ -17,6 +17,7 @@ from feathr_spark.definitions import (  # noqa: F401
     Source,
     SWAFeature,
     WindowSpec,
+    register_aggregation,
 )
 from feathr_spark.operators.asof import asof_join  # noqa: F401
 from feathr_spark.operators.swa import join_window_agg_features  # noqa: F401

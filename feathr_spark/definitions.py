@@ -48,6 +48,37 @@ AGG_TYPES = {
 FRAME_AGGS = {"SUM", "COUNT", "AVG", "MIN", "MAX", "LATEST", "TIMESINCE"}
 
 
+# User-registered SWA aggregations (the reference's ComplexAggregation /
+# custom UDAF surface, TimeWindowFeatureDefinition.scala:24-27): the
+# callable runs inside the cogroup Arrow kernel on each per-key slice.
+@dataclass(frozen=True)
+class CustomAggregation:
+    name: str
+    # fn(values: np.ndarray[object], fact_ts: np.ndarray[int64 us],
+    #    lo: np.ndarray, hi: np.ndarray) -> np.ndarray of len(lo);
+    # window i covers values[lo[i]:hi[i]] (ts-ascending), empty -> emit None
+    fn: Callable
+    dtype: str = "double"  # Spark DDL type of the output column
+
+
+CUSTOM_AGGS: dict[str, CustomAggregation] = {}
+
+
+def register_aggregation(name: str, fn: Callable, dtype: str = "double") -> None:
+    """Register a custom sliding-window aggregation usable as
+    ``SWAFeature(..., agg=name)``. Vectorized contract: ``fn`` receives
+    the key-slice's metric values + timestamps and the per-observation
+    window bounds ``(lo, hi)`` and returns one output per observation —
+    numpy in, numpy out, no per-row Python outside the fn. Runs on the
+    cogroup (Arrow kernel) strategy only; the fn is closure-captured at
+    plan time, so registration must happen on the driver before the join
+    is built."""
+    key = name.upper()
+    if key in AGG_TYPES:
+        raise ValueError(f"{name!r} is a built-in aggregation")
+    CUSTOM_AGGS[key] = CustomAggregation(key, fn, dtype)
+
+
 @dataclass(frozen=True)
 class WindowSpec:
     """Sliding window ``(t_obs - width - delay, t_obs - delay]``.
@@ -97,8 +128,11 @@ class SWAFeature:
     lateral_view_filter: Optional[str] = None
 
     def __post_init__(self):
-        if self.agg not in AGG_TYPES:
-            raise ValueError(f"unknown aggregation {self.agg!r}; expected one of {sorted(AGG_TYPES)}")
+        if self.agg not in AGG_TYPES and self.agg not in CUSTOM_AGGS:
+            raise ValueError(
+                f"unknown aggregation {self.agg!r}; expected one of "
+                f"{sorted(AGG_TYPES | CUSTOM_AGGS.keys())} "
+                "(custom aggs: feathr_spark.register_aggregation)")
 
 
 @dataclass(frozen=True)
@@ -150,6 +184,32 @@ class Anchor:
     # viewer_id vs viewee_id; MultiStageJoinPlanner.scala:319-335 key
     # tags + feature_derivations key aliases)
     obs_keys: Optional[list] = None
+    # custom anchor extractor (the reference's SimpleAnchorExtractorSpark /
+    # AnchorExtractor plugin surface, offline/anchored/anchorExtractor/*):
+    # an AnchorExtractor instance whose transform() maps the loaded source
+    # DataFrame to per-feature Columns, applied before key extraction so
+    # its outputs are visible to feature expressions / metrics.
+    extractor: Optional["AnchorExtractor"] = None
+
+
+class AnchorExtractor:
+    """Protocol for custom anchor extractors (reference:
+    offline/anchored/anchorExtractor/SimpleConfigurableAnchorExtractor.scala
+    + plugin adaptors offline/client/plugins/): subclass and implement
+    ``transform(df) -> dict[str, Column]`` — each entry becomes a column
+    on the anchor's source before features evaluate, so feature ``expr``s
+    (or SWA ``metric``s) can reference them. Pure-Column contract keeps
+    the extractor inside Catalyst (no Python row path)."""
+
+    def transform(self, df):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def apply(self, df):
+        cols = self.transform(df)
+        if not isinstance(cols, dict):
+            raise TypeError("AnchorExtractor.transform must return "
+                            "{name: Column}")
+        return df.withColumns(cols)
 
 
 @dataclass(frozen=True)
@@ -185,3 +245,10 @@ class ObservationSettings:
     timestamp_col: str
     timestamp_format: str = "epoch"
     simulate_time_delay: float = 0.0  # seconds, shifts every window by +delay
+    # useLatestFeatureData (SlidingWindowAggregationJoiner.scala:225-229):
+    # ignore the observation timestamp column and window every feature
+    # against "now" — feature generation against the freshest data.
+    # ``now_epoch`` (seconds) pins the clock for tests/reproducible runs;
+    # None -> driver-side time.time() evaluated once per plan.
+    use_latest_feature_data: bool = False
+    now_epoch: Optional[float] = None

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from feathr_spark.definitions import FRAME_AGGS, SWAFeature
+from feathr_spark.definitions import CUSTOM_AGGS, FRAME_AGGS, SWAFeature
 from feathr_spark.functions.timestamps import to_epoch_micros
 from feathr_spark.operators import kernels
 
@@ -108,6 +108,8 @@ def _out_field(f: SWAFeature, metric_dtype: T.DataType) -> T.StructField:
         return T.StructField(f.name, metric_dtype)
     if f.agg.endswith("_POOLING"):
         return T.StructField(f.name, T.ArrayType(T.DoubleType()))
+    if f.agg in CUSTOM_AGGS:
+        return T.StructField(f.name, T._parse_datatype_string(CUSTOM_AGGS[f.agg].dtype))
     return T.StructField(f.name, T.DoubleType())
 
 
@@ -232,10 +234,15 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
         if fld.name in set(feat_names) and isinstance(fld.dataType, T.LongType)
     }
     object_aggs = {"LATEST"}
+    # custom-agg callables resolved ONCE at plan time on the driver and
+    # closure-captured: the executor-side kernel must not depend on the
+    # worker re-importing a registry that was only populated driver-side
+    custom_fns = {s["name"]: CUSTOM_AGGS[s["agg"]].fn
+                  for s in specs if s["agg"] in CUSTOM_AGGS}
 
     def _is_object(s):
         return s["agg"] in object_aggs or s["group_col"] is not None \
-            or s["agg"].endswith("_POOLING")
+            or s["agg"].endswith("_POOLING") or s["agg"] in CUSTOM_AGGS
 
     def kernel(obs_pdf: pd.DataFrame, fact_pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(obs_pdf)
@@ -272,7 +279,7 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
                 _want_obj(s["group_col"])
                 _want_num(mc)
             elif agg in ("COUNT_DISTINCT", "APPROX_COUNT_DISTINCT") or agg == "LATEST" \
-                    or agg.endswith("_POOLING"):
+                    or agg.endswith("_POOLING") or s["name"] in custom_fns:
                 _want_obj(mc)
             elif agg == "TIMESINCE":
                 pass  # only timestamps used
@@ -380,6 +387,9 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
                     codes, _ = pd.factorize(pd.Series(obj_cols[s["metric"]][fl:fh]),
                                             use_na_sentinel=True)
                     outs[name][o0:o1] = kernels.agg_count_distinct(codes, lo, hi)
+                elif name in custom_fns:
+                    outs[name][o0:o1] = custom_fns[name](
+                        obj_cols[s["metric"]][fl:fh], fts, lo, hi)
                 else:
                     v = num_cols[s["metric"]][fl:fh]
                     fn = {"SUM": kernels.agg_sum, "COUNT": kernels.agg_count,
@@ -425,12 +435,39 @@ def _hot_keys(fact: DataFrame, n_keys: int, threshold: int,
     - ``freq_items``: df.stat.freqItems single-pass streaming estimate
       (SparkFrequentItemEstimator:41) — no shuffle, may over-report;
       over-reporting only costs harmless extra salting.
+    - ``cms``: count-min sketch (CountMinSketchFrequentItemEstimator:48,
+      same eps=0.01/confidence=0.95 → 200x5 counters). The sketch is a
+      fixed 8 KB aggregation state (partial-aggregated, no per-key
+      shuffle), collected once and re-broadcast as 5 in-plan array
+      literals; the estimate `min_d(counts[d][h_d(key)])` is then pure
+      JVM expressions — never undercounts, so no hot key is missed;
+      over-reporting only costs harmless extra salting. Composite keys
+      supported (sketched on xxhash64 of the key tuple).
     Precomputed lists (PreComputedFrequentItemEstimator:20) are passed
     straight to join_window_agg_features(hot_keys_df=...).
     """
     kcols = _key_cols(n_keys)
     if method == "exact":
         return fact.groupBy(*kcols).count().where(F.col("count") > threshold).select(*kcols)
+    if method == "cms":
+        width, depth = 200, 5  # ceil(2/eps), ceil(-ln(1-conf)/ln 2)
+        item = F.xxhash64(*kcols)
+        probe = F.array(*[F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(F.lit(d), item), F.lit(width)).alias("b"))
+            for d in range(depth)])
+        # build: explode to (depth, bucket) cells; partial aggregation
+        # caps the shuffle at depth*width rows per partition
+        cells = fact.select(F.explode(probe).alias("p")) \
+            .groupBy("p.d", "p.b").count().collect()
+        table = {(r["d"], r["b"]): r["count"] for r in cells}
+        est = F.least(*[
+            F.element_at(
+                F.array(*[F.lit(int(table.get((d, w), 0))) for w in range(width)]),
+                (F.pmod(F.xxhash64(F.lit(d), item), F.lit(width)) + 1).cast("int"))
+            for d in range(depth)
+        ])
+        return fact.where(est > threshold).select(*kcols).dropDuplicates()
     if method == "freq_items":
         if n_keys != 1:
             # per-column freqItems lists are independent and unaligned, so
@@ -701,6 +738,11 @@ def join_window_agg_features(
         strategy = "union" if frame_ok else "cogroup"
 
     if strategy == "union":
+        custom = [f.name for f in features if f.agg in CUSTOM_AGGS]
+        if custom:
+            raise ValueError(
+                f"custom aggregations {custom} require the cogroup strategy "
+                "(no Spark window-frame form)")
         joined = _swa_union(obs_main, fact_proj, features, metric_col, n_keys)
         helper = [c for c in joined.columns if c.startswith("__")]
         joined = joined.drop(*helper)

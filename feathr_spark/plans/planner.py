@@ -104,7 +104,8 @@ def _effective_lateral(anchor: Anchor, feat) -> tuple:
 def _source_key(anchor: Anchor) -> tuple:
     s = anchor.source
     return (s.path, s.fmt, tuple(sorted((s.options or {}).items())),
-            tuple(anchor.keys), tuple(anchor.obs_keys or ()))
+            tuple(anchor.keys), tuple(anchor.obs_keys or ()),
+            id(anchor.extractor) if getattr(anchor, "extractor", None) else None)
 
 
 def join_features(
@@ -116,12 +117,23 @@ def join_features(
     lookups: Sequence[LookupFeature] = (),
     requested: Optional[Sequence[str]] = None,
     source_cache: Optional[dict] = None,
+    checkpoint_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Point-in-time join of every requested feature onto ``observation``.
 
     ``source_cache`` maps an anchor's source path to an already-loaded
     DataFrame (tests inject in-memory frames; production resolves via
     spark.read with the engine's loader).
+
+    ``checkpoint_every``: truncate the lineage after every N join stages
+    (the reference checkpoints long multi-anchor plans per stage,
+    FeathrClient.scala:182-192 — without it a 50-anchor plan builds a
+    DAG deep enough to blow planning time / stack). With
+    ``checkpoint_dir`` set the checkpoint is RELIABLE (HDFS/S3-backed,
+    survives executor loss — the 100 TB setting); without it, a
+    lazy ``localCheckpoint`` (executor-local, cheaper, lost on executor
+    death — acceptable for short local runs only).
     """
     groups = FeatureGroups.classify(anchors)
     out = observation
@@ -133,6 +145,34 @@ def join_features(
     # the engines see ordinary delays (no timestamp rewriting).
     sim = float(getattr(settings, "simulate_time_delay", 0.0) or 0.0)
 
+    # useLatestFeatureData (SlidingWindowAggregationJoiner.scala:225-229):
+    # every window/as-of anchors to "now" instead of the observation's
+    # timestamp column. One driver-side clock read per plan (the
+    # reference evaluates unix_timestamp() once per join run too), a
+    # constant column — not F.current_timestamp(), whose per-batch
+    # re-evaluation would make retries non-deterministic.
+    obs_ts_col = settings.timestamp_col
+    obs_ts_format = settings.timestamp_format
+    if getattr(settings, "use_latest_feature_data", False):
+        import time as _time
+
+        now_s = settings.now_epoch if settings.now_epoch is not None else _time.time()
+        out = out.withColumn("__now_ts", F.lit(float(now_s)))
+        obs_ts_col, obs_ts_format = "__now_ts", "epoch"
+
+    if checkpoint_every and checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    stage_counter = [0]
+
+    def _stage_done(df: DataFrame) -> DataFrame:
+        if not checkpoint_every:
+            return df
+        stage_counter[0] += 1
+        if stage_counter[0] % checkpoint_every:
+            return df
+        return df.checkpoint(eager=False) if checkpoint_dir \
+            else df.localCheckpoint(eager=False)
+
     def _load_raw(anchor: Anchor) -> DataFrame:
         path = anchor.source.path
         if source_cache and path in source_cache:
@@ -140,6 +180,8 @@ def join_features(
                 if anchor.source.preprocessing else source_cache[path]
         else:
             df = load_source(spark, anchor.source)
+        if getattr(anchor, "extractor", None) is not None:
+            df = anchor.extractor.apply(df)
         return df
 
     def _load(anchor: Anchor) -> DataFrame:
@@ -177,11 +219,12 @@ def join_features(
         out = join_window_agg_features(
             out, fact,
             obs_keys=a0.obs_keys or settings.keys, fact_keys=a0.keys,
-            obs_ts=settings.timestamp_col, fact_ts=a0.source.timestamp_col,
+            obs_ts=obs_ts_col, fact_ts=a0.source.timestamp_col,
             features=feats,
-            obs_ts_format=settings.timestamp_format,
+            obs_ts_format=obs_ts_format,
             fact_ts_format=a0.source.timestamp_format,
         )
+        out = _stage_done(out)
 
     # (3) snapshot anchors: as-of LATEST when the source is time-stamped,
     # plain dedup+left-join otherwise
@@ -192,9 +235,9 @@ def join_features(
         if a.source.timestamp_col:
             out = asof_join(
                 out, src, a.obs_keys or settings.keys, a.keys,
-                settings.timestamp_col, a.source.timestamp_col,
+                obs_ts_col, a.source.timestamp_col,
                 [f"{f.expr} as {f.name}" for f in feats],
-                obs_ts_format=settings.timestamp_format,
+                obs_ts_format=obs_ts_format,
                 fact_ts_format=a.source.timestamp_format,
                 delay=sim,
             )
@@ -212,6 +255,7 @@ def join_features(
         for f in feats:
             if f.default is not None:
                 out = out.withColumn(f.name, F.coalesce(F.col(f.name), F.lit(f.default)))
+        out = _stage_done(out)
 
     # (4) sequential/lookup features over joined base values.
     # lookup_join references its obs twice (projection + join-back), so
@@ -270,6 +314,8 @@ def join_features(
                              f"{[d.name for d in remaining]}")
 
     # (6) prune to requested features (+ observation columns)
+    if obs_ts_col == "__now_ts":
+        out = out.drop("__now_ts")
     if requested is not None:
         keep = list(observation.columns) + [c for c in requested if c in out.columns]
         out = out.select(*dict.fromkeys(keep))

@@ -259,3 +259,72 @@ def test_kafka_options_plumbing(spark):
     assert opts["failOnDataLoss"] == "false"
     assert opts["maxOffsetsPerTrigger"] == "5000"
     assert opts["kafka.security.protocol"] == "SSL"
+
+
+def test_use_latest_feature_data(spark):
+    """useLatestFeatureData: windows anchor to "now" (pinned via
+    now_epoch), ignoring the observation timestamp column entirely
+    (SlidingWindowAggregationJoiner.scala:225-229)."""
+    obs = spark.createDataFrame([(1, "u1", 12345)], "oid long, k string, ts long")
+    fact = spark.createDataFrame(
+        [("u1", T0 - 50, 2.0),     # 50s before "now": in the 100s window
+         ("u1", T0 - 200, 9.0)],   # 200s before: out
+        "k string, ts long, v double")
+    src = Source(path="mem", timestamp_col="ts")
+    anchor = Anchor("a", src, keys=["k"],
+                    features=[SWAFeature("s", "SUM", "v", WindowSpec(100))])
+    out = join_features(
+        spark, obs,
+        ObservationSettings(keys=["k"], timestamp_col="ts",
+                            use_latest_feature_data=True, now_epoch=T0),
+        [anchor], source_cache={"mem": fact})
+    row = out.first()
+    assert row["s"] == 2.0
+    assert "__now_ts" not in out.columns
+
+
+def test_checkpoint_every_truncates_lineage(spark, tmp_path):
+    """Per-stage reliable checkpoint: values unchanged; the final plan no
+    longer contains the first stage's scan lineage (FeathrClient.scala:
+    182-192 analogue)."""
+    obs = spark.createDataFrame([(1, "u1", T0 + 100)], "oid long, k string, ts long")
+    fact = spark.createDataFrame([("u1", T0 + 50, 5.0)], "k string, ts long, v double")
+    src = Source(path="mem", timestamp_col="ts")
+    anchors = [
+        Anchor("a1", src, keys=["k"],
+               features=[SWAFeature("s1", "SUM", "v", WindowSpec(3600))]),
+        Anchor("a2", src, keys=["k"],
+               features=[SWAFeature("s2", "COUNT", "v", WindowSpec(3600))]),
+    ]
+    settings = ObservationSettings(keys=["k"], timestamp_col="ts")
+    plain = join_features(spark, obs, settings, anchors, source_cache={"mem": fact})
+    ckpt = join_features(spark, obs, settings, anchors, source_cache={"mem": fact},
+                         checkpoint_every=1, checkpoint_dir=str(tmp_path / "ck"))
+    p, c = plain.first(), ckpt.first()
+    assert (p["s1"], p["s2"]) == (c["s1"], c["s2"]) == (5.0, 1)
+
+
+def test_custom_anchor_extractor(spark):
+    """AnchorExtractor protocol: transform() returns {name: Column};
+    outputs are visible to both snapshot feature exprs and SWA metrics
+    (SimpleConfigurableAnchorExtractor parity, Column-native)."""
+    from pyspark.sql import functions as F
+
+    from feathr_spark.definitions import AnchorExtractor
+
+    class Doubler(AnchorExtractor):
+        def transform(self, df):
+            return {"v2": F.col("v") * 2}
+
+    obs = spark.createDataFrame([(1, "u1", T0 + 100)], "oid long, k string, ts long")
+    fact = spark.createDataFrame([("u1", T0 + 50, 5.0)], "k string, ts long, v double")
+    src = Source(path="mem", timestamp_col="ts")
+    anchors = [
+        Anchor("swa", src, keys=["k"], extractor=Doubler(),
+               features=[SWAFeature("s2", "SUM", "v2", WindowSpec(3600))]),
+        Anchor("snap", Source(path="mem"), keys=["k"], extractor=Doubler(),
+               features=[Feature("latest_v2", "v2")]),
+    ]
+    out = join_features(spark, obs, ObservationSettings(keys=["k"], timestamp_col="ts"),
+                        anchors, source_cache={"mem": fact}).first()
+    assert out["s2"] == 10.0 and out["latest_v2"] == 10.0

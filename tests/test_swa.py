@@ -365,3 +365,58 @@ def test_global_count_distinct_matches_loop():
                 cc = cc[cc >= 0]
                 want[o0 + i] = len(np.unique(cc))
         assert (got == want).all(), f"trial {trial}"
+
+
+def test_custom_aggregation_registry(spark):
+    """register_aggregation: a user-defined RANGE agg (max - min) runs
+    inside the cogroup kernel on per-key window slices; union strategy
+    rejects it with a clear error."""
+    import feathr_spark
+    from feathr_spark.definitions import CUSTOM_AGGS
+
+    def value_range(values, ts, lo, hi):
+        out = np.full(len(lo), None, dtype=object)
+        for i in range(len(lo)):
+            w = [float(v) for v in values[lo[i]:hi[i]] if v is not None]
+            if w:
+                out[i] = max(w) - min(w)
+        return out
+
+    feathr_spark.register_aggregation("RANGE", value_range, dtype="double")
+    try:
+        obs = spark.createDataFrame([(1, 100), (2, 100)], "k long, ts long")
+        fact = spark.createDataFrame(
+            [(1, 50, 2.0), (1, 60, 7.0), (1, 90, 4.0), (2, 10, 1.0)],
+            "k long, ts long, v double")
+        feats = [SWAFeature("vrange", "RANGE", "v", WindowSpec(80))]
+        out = join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats)
+        rows = {r["k"]: r["vrange"] for r in out.collect()}
+        assert rows[1] == 5.0  # window (20,100]: values 2,7,4
+        assert rows[2] is None  # fact at ts=10 outside (20,100]
+        with pytest.raises(ValueError, match="cogroup"):
+            join_window_agg_features(obs, fact, ["k"], ["k"], "ts", "ts", feats,
+                                     strategy="union")
+        with pytest.raises(ValueError, match="built-in"):
+            feathr_spark.register_aggregation("SUM", value_range)
+    finally:
+        CUSTOM_AGGS.pop("RANGE", None)
+
+
+def test_cms_hot_keys_superset_of_exact(spark):
+    """Count-min sketch estimator never MISSES a hot key (one-sided
+    error); composite keys supported via tuple hashing."""
+    from feathr_spark.operators.swa import _hot_keys, _with_keys_ts
+
+    rows = [(1, "a", i) for i in range(300)] + \
+           [(2, "b", i) for i in range(40)] + \
+           [(i + 10, "c", i) for i in range(50)]
+    fact = spark.createDataFrame(rows, "k1 long, k2 string, ts long")
+    f2 = _with_keys_ts(fact, ["k1", "k2"], "ts", "epoch")
+    exact = {(r["__k0"], r["__k1"])
+             for r in _hot_keys(f2, 2, 100, method="exact").collect()}
+    cms = {(r["__k0"], r["__k1"])
+           for r in _hot_keys(f2, 2, 100, method="cms").collect()}
+    assert exact == {(1, "a")}
+    assert exact <= cms  # may over-report, never under-reports
+    # over-reporting is bounded: eps=0.01 of 390 rows ~ 4 extra counts max
+    assert (2, "b") not in cms
