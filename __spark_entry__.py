@@ -826,6 +826,45 @@ def q_swa_custom_agg(spark, sf_dir):
     return out.select("event_id", "vrange")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (pure JVM; floor(+0.5)
+    rounding pinned so the DuckDB oracle reproduces it bit-exactly).
+    Exploded to scalar rows for canonicalization."""
+    from feathr_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb.select("vec_id", "embedding"))
+    ex = out.select("vec_id", F.round("q8_scale", 6).alias("q8_scale"),
+                    F.posexplode("q8").alias("pos", "q"))
+    return ex.select("vec_id", F.col("pos").cast("long").alias("pos"),
+                     F.col("q").cast("int").alias("q"), "q8_scale")
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-line fraction +
+    top-bigram fraction per document."""
+    from feathr_spark.operators.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_features(docs)
+    return out.select("doc_id",
+                      F.round("dup_line_frac", 6).alias("dup_line_frac"),
+                      F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN top-3 for the first 3 vectors (rows-only: centroid fit is
+    sample/seed-dependent, not SQL-expressible; exact parity is covered
+    by knn_bruteforce's green oracle, and recall vs brute force is
+    asserted in tests/test_similarity_mm.py)."""
+    from feathr_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_v = [r["embedding"] for r in emb.where(F.col("vec_id") < 3)
+                 .orderBy("vec_id").collect()]
+    return ivf_topk(emb, queries_v, k=3, n_centroids=16, n_probe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -879,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_sim_delay": q_swa_sim_delay,
         "lookup_elementwise": q_lookup_elementwise,
         "swa_custom_agg": q_swa_custom_agg,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_features": q_repetition_features,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1324,6 +1366,53 @@ def oracle_sql() -> dict[str, str]:
             FROM events o LEFT JOIN events f ON {win_1d}
             GROUP BY o.event_id
         """,
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings
+            ), ex AS (
+                SELECT vec_id, scale, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+                FROM s CROSS JOIN range(1, 65) r(i)
+            )
+            SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(CASE WHEN scale = 0 OR scale IS NULL THEN 0
+                        ELSE greatest(-127, least(127, floor(v / scale + 0.5))) END
+                        AS INTEGER) AS q,
+                   round(coalesce(scale, 0), 6) AS q8_scale
+            FROM ex
+        """,
+        "repetition_features": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) <> '') AS lines
+                FROM documents
+            ), wds AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                           x -> x <> '') AS words
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(words), 1)),
+                                             i -> words[i] || ' ' || words[i+1])) AS b
+                FROM wds
+            ), cnt AS (
+                SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+            ), top AS (
+                SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tbf
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   round(CASE WHEN len(lines) = 0 THEN 0.0
+                         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                                    / len(lines) END, 6) AS dup_line_frac,
+                   round(coalesce(top.tbf, 0.0), 6) AS top_bigram_frac
+            FROM l LEFT JOIN top ON top.doc_id = l.doc_id
+        """,
+        # ann_ivf: rows-only (centroid fit is sample/seed-dependent);
+        # exact parity via knn_bruteforce, recall asserted in pytest
         "minhash_pairs": _JACCARD_PAIRS_ORACLE,
         "simhash_pairs": _JACCARD_PAIRS_ORACLE,
         "minhash_clusters": f"""

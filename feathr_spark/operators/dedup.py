@@ -366,8 +366,26 @@ def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
     pairs = (
         left.join(right, ["band_id", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return pairs.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming) \
+    # A pair sharing k bands would come out k times; instead of a
+    # dropDuplicates (an extra full-pair-set shuffle — measured 3x the
+    # whole query at narrow bands, where collisions explode), emit each
+    # pair ONLY at its first agreeing band: first-match index is pure
+    # bit math on xor, evaluated inline in the join stage. (Under
+    # max_bucket truncation a pair truncated out of its first-match
+    # band is dropped even if it matched a later band — the cap is a
+    # bound on work, not a completeness promise.)
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+
+    def _band_of(b: int):
+        return F.shiftrightunsigned(xor, b * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    first_match = F.when(_band_of(0) == 0, 0)
+    for b in range(1, n_bands):
+        first_match = first_match.when(_band_of(b) == 0, b)
+    hamming = F.bit_count(xor)
+    return (
+        pairs.where((hamming <= max_hamming) & (F.col("band_id") == first_match))
+        .withColumn("hamming", hamming)
         .select("id_a", "id_b", "hamming")
+    )

@@ -227,3 +227,145 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+
+def _fit_centroids(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Driver-side Lloyd k-means on a BOUNDED sample (the classic IVF
+    coarse quantizer — FAISS trains its coarse centroids on a sample the
+    same way; the full corpus never reaches the driver)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T  # normalized -> cosine
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(float(np.linalg.norm(v)), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row (Arrow-batched matmul). At scale,
+    write the corpus partitioned/bucketed by this column once and every
+    subsequent query prunes to n_probe cells at the SCAN."""
+    spark = corpus.sparkSession
+    cb = spark.sparkContext.broadcast(centroids.astype(np.float32))
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        cent = cb.value
+        out = np.full(len(vecs), -1, dtype=np.int32)
+        ok = vecs.notna()
+        if ok.any():
+            mat = np.stack(vecs[ok].to_numpy()).astype(np.float32)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out[ok.to_numpy()] = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return corpus.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    kmeans_iters: int = 5,
+    sample_size: int = 20000,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors: coarse k-means centroids
+    (fit driver-side on a bounded sample), corpus rows assigned to their
+    nearest cell, each query scored ONLY against its ``n_probe`` nearest
+    cells — the candidate set shrinks ~n_probe/n_centroids versus
+    brute force, and the (query, cell) probe table is a broadcast join,
+    so no shuffle of the corpus. Returns (query_id, vec_id, score)."""
+    spark = corpus.sparkSession
+    sample_rows = corpus.select(vec_col).where(F.col(vec_col).isNotNull()) \
+        .limit(sample_size).collect()
+    if not sample_rows:
+        return spark.createDataFrame([], f"query_id long, {id_col} long, score double")
+    sample = np.stack([r[vec_col] for r in sample_rows]).astype(np.float32)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _fit_centroids(sample, n_centroids, kmeans_iters, seed)
+
+    q = np.asarray(queries, dtype=np.float32)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    probe_rows = [(int(qi), int(c)) for qi in range(len(qn)) for c in probe[qi]]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, ivf_cell int")
+
+    assigned = ivf_assign(corpus, cent, vec_col)
+    candidates = assigned.join(F.broadcast(probe_df), on="ivf_cell")
+
+    qb = spark.sparkContext.broadcast(qn)
+
+    @F.pandas_udf("double")
+    def _score(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+        qm = qb.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float32)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sel = qm[qids.to_numpy()]
+        return pd.Series(np.einsum("ij,ij->i", sel, mat).astype(np.float64))
+
+    scored = candidates.withColumn("score", _score(F.col("query_id"), F.col(vec_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.select("query_id", id_col, "score")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8) — storage/bandwidth path for 100 TB corpora
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization, pure JVM expressions:
+    scale = max|x| / 127, q[i] = floor(x[i]/scale + 0.5) clamped to
+    [-127, 127] (explicit floor(+0.5) so a SQL oracle reproduces the
+    rounding bit-exactly; banker's-vs-half-up round() differences would
+    break value checks). Null/zero vectors quantize to scale 0 / all-0."""
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = (absmax / F.lit(127.0))
+    qexpr = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(v / F.nullif(scale, F.lit(0.0)) + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    qexpr = F.when(scale.isNull() | (scale == 0.0),
+                   F.transform(x, lambda v: F.lit(0))).otherwise(qexpr)
+    return df.withColumn(q_col, qexpr.cast("array<tinyint>")) \
+             .withColumn(scale_col, F.coalesce(scale, F.lit(0.0)))

@@ -160,3 +160,46 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Rolling-hash fingerprint set: distinct xxhash64 of each shingle
     (winnowing-style document fingerprinting)."""
     return F.array_distinct(F.transform(shingles(text, n), lambda s: F.xxhash64(s)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
+    the standard corpus-filtering heuristics beyond the reference's
+    surface): per document,
+
+    - ``dup_line_frac``: 1 - distinct/total over non-blank lines
+      (boilerplate/template pages repeat lines) — pure JVM array ops;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      / total bigrams (degenerate generated text repeats one phrase) —
+      explode -> two map-side-combined groupBys on (doc, bigram), no
+      per-row Python.
+
+    Documents with no lines / fewer than 2 words get 0.0.
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda ln: F.trim(ln) != "")
+    dup_line = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = df.withColumn("dup_line_frac", dup_line)
+
+    w = _words(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = base.select(F.col(id_col).alias("__rid"),
+                     F.explode_outer(bigrams).alias("__bg"))
+    per = (
+        bg.groupBy("__rid", "__bg").count()
+        .groupBy("__rid")
+        .agg((F.max(F.when(F.col("__bg").isNotNull(), F.col("count")))
+              / F.sum(F.when(F.col("__bg").isNotNull(), F.col("count"))))
+             .alias("top_bigram_frac"))
+    )
+    out = base.join(per, base[id_col] == per["__rid"], "left").drop("__rid")
+    return out.withColumn("top_bigram_frac",
+                          F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)))

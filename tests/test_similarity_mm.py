@@ -118,3 +118,72 @@ def test_resize_and_frames(spark):
     fr = sample_frames(media, every_n=10)
     counts = fr.groupBy("media_id").count().collect()
     assert all(c["count"] == 3 for c in counts)  # 30 frames / 10
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF ANN with generous probes recovers most of the exact top-k
+    (scale path: candidate set ~ n_probe/n_centroids of the corpus)."""
+    from feathr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    queries = [r["embedding"] for r in emb.where(F.col("vec_id") < 5)
+               .orderBy("vec_id").collect()]
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, f"recall {recall}"
+    # every query answered with exactly k rows
+    cnt = {r["query_id"]: r["count"]
+           for r in approx.groupBy("query_id").count().collect()}
+    assert all(v == 5 for v in cnt.values())
+
+
+def test_ivf_assign_partitions_corpus(spark, emb):
+    from feathr_spark.operators.similarity import _fit_centroids, ivf_assign
+
+    sample = np.stack([r["embedding"] for r in emb.limit(200).collect()])
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _fit_centroids(sample.astype(np.float32), 8, 3, seed=1)
+    assigned = ivf_assign(emb, cent)
+    cells = assigned.groupBy("ivf_cell").count().collect()
+    assert all(0 <= r["ivf_cell"] < 8 for r in cells)
+    assert assigned.count() == emb.count()
+
+
+def test_quantize_embeddings_roundtrip(spark, emb):
+    """Dequantized vectors approximate originals within the 1/127 step;
+    zero/null vectors quantize cleanly to scale 0."""
+    from feathr_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(emb.select("vec_id", "embedding")).limit(50).collect()
+    for r in out:
+        x = np.array(r["embedding"], dtype=np.float64)
+        q = np.array(r["q8"], dtype=np.float64)
+        s = r["q8_scale"]
+        if s == 0:
+            assert np.all(q == 0)
+            continue
+        err = np.abs(q * s - x)
+        assert err.max() <= s * 0.5 + 1e-9
+    z = spark.createDataFrame([(1, [0.0, 0.0]), (2, None)],
+                              "vec_id long, embedding array<double>")
+    zr = {r["vec_id"]: r for r in quantize_embeddings(z).collect()}
+    assert zr[1]["q8_scale"] == 0.0 and list(zr[1]["q8"]) == [0, 0]
+    assert zr[2]["q8"] is None and zr[2]["q8_scale"] == 0.0
+
+
+def test_repetition_features(spark):
+    from feathr_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),        # 3 lines, 2 distinct -> 1/3 dup
+         (2, "x y x y x y"),          # bigrams: 'x y'x3,'y x'x2 -> 3/5
+         (3, "unique words only"),
+         (4, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert abs(rows[1]["dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(rows[2]["top_bigram_frac"] - 3 / 5) < 1e-9
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[4]["dup_line_frac"] == 0.0 and rows[4]["top_bigram_frac"] == 0.0
