@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from feathr_spark.operators.text import normalize_text, shingle_hashes
 
@@ -205,6 +206,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     max_cc_rounds: int = 50,
     verify: str = "estimate",
+    cc_broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate clustering: returns (id, cluster_rep) where
     cluster_rep is the minimum id reachable through verified near-dup
@@ -216,7 +218,15 @@ def minhash_lsh_dedup(
     edges — "estimate" (signature-position agreement, no extra shuffle;
     the cheap corpus-scale default) or "exact" (true shingle-set Jaccard
     via :func:`ngram_jaccard_pairs`; deterministic w.r.t. the text
-    itself, so a SQL oracle can recompute it)."""
+    itself, so a SQL oracle can recompute it).
+
+    The verified edge set is orders of magnitude smaller than the corpus
+    (only near-dup pairs survive), so when it fits the driver
+    (``cc_broadcast_threshold`` edges — same move as Spark's broadcast
+    join threshold) components are solved by a driver-side union-find in
+    one pass and joined back broadcast; the distributed fixpoint loop
+    (several Spark jobs per round) only runs for edge sets too big to
+    collect. Same output either way."""
     if verify == "exact":
         verified = ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n, threshold, bands, num_hashes
@@ -227,13 +237,52 @@ def minhash_lsh_dedup(
         pairs = lsh_candidate_pairs(sigs, "minhash", id_col, bands, rows)
         verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
             .select("id_a", "id_b")
-    edges = verified.unionByName(
-        verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()  # reused every propagation round — never recompute the LSH DAG
-    edges.count()
+    verified = verified.persist()  # reused: count + (collect | rounds)
+    n_edges = verified.count()
     nodes = df.select(F.col(id_col).alias("id"))
-    labels = connected_components(edges, nodes, max_rounds=max_cc_rounds)
+    if n_edges <= cc_broadcast_threshold:
+        mapping = _unionfind_labels(verified.collect())
+        spark = df.sparkSession
+        if mapping:
+            id_type = nodes.schema["id"].dataType
+            schema = T.StructType([T.StructField("id", id_type),
+                                   T.StructField("rep", id_type)])
+            map_df = F.broadcast(spark.createDataFrame(
+                list(mapping.items()), schema))
+            labels = nodes.join(map_df, on="id", how="left") \
+                .select("id", F.coalesce("rep", "id").alias("rep"))
+        else:
+            labels = nodes.select("id", F.col("id").alias("rep"))
+    else:
+        edges = verified.unionByName(
+            verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).persist()  # reused every propagation round — never recompute the LSH DAG
+        edges.count()
+        labels = connected_components(edges, nodes, max_rounds=max_cc_rounds)
     return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
+
+
+def _unionfind_labels(edge_rows) -> dict:
+    """Driver union-find (path compression + union by min): returns
+    {node_id: min_id_in_component} for edge-touched nodes only."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row["id_a"], row["id_b"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    return {x: find(x) for x in list(parent)}
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -169,3 +169,16 @@ def test_minhash_dedup_chain_converges(spark):
     labels = {r["doc_id"]: r["cluster_rep"]
               for r in minhash_lsh_dedup(df, threshold=0.3).collect()}
     assert set(labels.values()) == {1}, labels
+
+
+def test_minhash_dedup_broadcast_vs_distributed_parity(spark, near_dup_corpus):
+    """The driver union-find fast path (edge set fits the driver) and the
+    distributed fixpoint loop must produce identical labels."""
+    rows, _ = near_dup_corpus
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {(r["doc_id"], r["cluster_rep"])
+            for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
+    dist = {(r["doc_id"], r["cluster_rep"])
+            for r in minhash_lsh_dedup(
+                df, threshold=0.5, cc_broadcast_threshold=0).collect()}
+    assert fast == dist
