@@ -865,6 +865,77 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_v, k=3, n_centroids=16, n_probe=8)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-doc count of word 3-grams shared
+    with a held-out benchmark split (doc_id % 37 == 0) — the GPT-3
+    appendix-C n-gram overlap rule (n=3 suits the short synthetic docs;
+    production default is n=13). Join happens on 64-bit shingle hashes
+    engine-side; the oracle joins the n-gram strings themselves."""
+    from feathr_spark.operators.corpus import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination(train, bench, n=3)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: 128 whitespace
+    tokens per training sequence, packed independently per source
+    domain (docs may straddle a cut; one row per doc x sequence)."""
+    from feathr_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=128, partition_by=["source"])
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-domain downsampling. Uses an engine-portable
+    LCG hash so the DuckDB oracle reproduces the exact keep set
+    (production default is xxhash64 — identical bucket rule)."""
+    from feathr_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345),
+               F.lit(2147483648))
+    out = stratified_sample(docs, {"src0": 0.7, "src1": 0.2, "src2": 0.05},
+                            default_rate=0.4, hash_col=h)
+    return out.select("doc_id", "source")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: email / IPv4 / phone spans -> typed tags + per-doc
+    counts. The corpus has no PII, so identifiers are injected
+    deterministically from doc_id first (both engines inject the same
+    string, then redact)."""
+    from feathr_spark.operators.corpus import pii_features
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".77 tel +1 555 01"),
+            F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+        ).alias("text"))
+    return pii_features(injected)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Per-domain token accounting vs a target mixture -> resampling
+    weights (domains outside the target get weight 0)."""
+    from feathr_spark.operators.corpus import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_weights(docs, {"src0": 0.30, "src1": 0.20, "src2": 0.10})
+    return out.select("source", "n_docs", "n_tokens",
+                      F.round("share", 6).alias("share"),
+                      F.round("weight", 6).alias("weight"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "swa_sum_count_avg": q_swa_sum_count_avg,
@@ -921,6 +992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "repetition_features": q_repetition_features,
         "ann_ivf": q_ann_ivf,
+        "contamination_check": q_contamination,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -1432,4 +1508,91 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: rows-only (approximate recall is seed/probe-dependent,
         # not SQL-expressible; exact-top-k parity is covered by
         # knn_bruteforce's green oracle)
+        "contamination_check": r"""
+            WITH w AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                        '\s+', ' ', 'g')),
+                    '\s+'), x -> x <> '') AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(words) - 2, 0) + 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+                FROM w
+            ), bench AS (
+                SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
+            ), doc_g AS (
+                SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0
+            )
+            SELECT d.doc_id, count(*)::BIGINT AS n_hits
+            FROM doc_g d JOIN bench b ON d.g = b.g
+            GROUP BY d.doc_id
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       w -> w <> ''))::BIGINT AS ntok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, ntok,
+                       sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+                FROM t WHERE ntok > 0
+            )
+            SELECT source, u.seq_id::BIGINT AS seq_id, doc_id,
+                   greatest(e - ntok - u.seq_id * 128, 0)::BIGINT AS seq_off,
+                   (least(e, (u.seq_id + 1) * 128)
+                    - greatest(e - ntok, u.seq_id * 128))::BIGINT AS n_tok_in_seq
+            FROM c, unnest(generate_series((e - ntok) // 128, (e - 1) // 128)) AS u(seq_id)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000000 <
+                  CASE source WHEN 'src0' THEN 700000
+                              WHEN 'src1' THEN 200000
+                              WHEN 'src2' THEN 50000
+                              ELSE 400000 END
+        """,
+        "pii_redact": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com or 10.0.'
+                            || (doc_id % 256) || '.77 tel +1 555 01'
+                            || (doc_id % 100) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+                   len(regexp_extract_all(t,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(
+                       regexp_replace(regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', ' ', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', ' ', 'g'),
+                       '\+[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+            FROM inj
+        """,
+        "mixture_weights": r"""
+            WITH t AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                           w -> w <> '')))::BIGINT AS n_tokens
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS share,
+                   round(CASE source WHEN 'src0' THEN 0.30
+                                     WHEN 'src1' THEN 0.20
+                                     WHEN 'src2' THEN 0.10
+                                     ELSE 0.0 END
+                         / (n_tokens::DOUBLE / sum(n_tokens) OVER ()), 6) AS weight
+            FROM t
+        """,
     }

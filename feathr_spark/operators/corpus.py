@@ -1,0 +1,310 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+The ops a pretraining data pipeline runs between "raw filtered docs"
+and "token stream on disk", built on the text primitives in
+``operators/text.py``:
+
+- benchmark decontamination: drop/flag training docs that share word
+  n-grams with an evaluation set (the standard 13-gram overlap rule,
+  GPT-3 appendix C / PaLM sec. 8; n is a parameter)
+- sequence packing: concat-and-chunk documents into fixed token-budget
+  training sequences (GPT-style packing) with an exact global cumsum
+  that never uses a single-partition window
+- deterministic sampling: hash-based keep/drop so a sample is
+  reproducible across runs and machines, with per-stratum rates
+- PII redaction: email / IPv4 / phone-shaped spans replaced by typed
+  placeholder tags, counts surfaced per doc
+- mixture weights: per-domain token shares vs a target mixture ->
+  resampling weights
+
+Everything is JVM-side ``pyspark.sql.functions`` expressions (regex,
+higher-order array functions, window frames) — no Python in any hot
+path, every operator whole-stage-codegens and scales with executors.
+
+Scale notes (100 TB): decontamination joins the corpus n-gram stream
+against the *benchmark* n-gram set, which is small (eval suites are
+MBs, not TBs) — broadcast by default, hash semi-join otherwise; the
+corpus side streams through exploded and is never collected.  Packing
+computes the global running token offset with the classic two-phase
+cumsum (per-partition subtotals -> driver prefix over #partitions
+rows -> broadcast offsets), so no stage ever funnels data through one
+task.  Sampling and redaction are stateless row maps.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feathr_spark.operators.text import shingles, token_count
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-doc count of DISTINCT benchmark word ``n``-grams it contains.
+
+    Returns ``(id_col, n_hits)`` for contaminated docs only (``n_hits
+    >= 1``).  Both sides shingle over normalized text (see
+    :func:`~feathr_spark.operators.text.shingles`) and join on the
+    64-bit shingle hash, so the shuffle carries ``(id, long)`` rows —
+    never document text.  The benchmark n-gram set (eval suites are
+    small) is broadcast by default; pass ``broadcast_benchmark=False``
+    to let the optimizer pick a shuffle hash join instead.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(shingles(bench_text_col, n))).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    return (
+        doc_grams.join(bench_grams, on="__gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """``docs`` minus every row sharing any word ``n``-gram with
+    ``benchmark`` (left-anti against :func:`contamination`)."""
+    hits = contamination(docs, benchmark, n, text_col, id_col,
+                         bench_text_col, broadcast_benchmark)
+    return docs.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_tok_col: str | Column | None = None,
+    order_col: str = "doc_id",
+    partition_by: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out
+    end-to-end in ``order_col`` order and cut every ``budget`` tokens
+    (GPT-style packing — documents may straddle a cut).
+
+    Emits one row per (document, sequence) overlap::
+
+        partition_by..., seq_id, id_col, seq_off, n_tok_in_seq
+
+    where ``seq_off`` is the document's first token position inside
+    sequence ``seq_id`` and ``n_tok_in_seq`` how many of its tokens
+    land there.  Zero-token documents are dropped (they occupy no
+    positions).
+
+    ``n_tok_col`` defaults to whitespace :func:`token_count` over
+    ``text_col``.  With ``partition_by`` the packing is independent per
+    group (per-domain shards) and uses one window per group.  Without
+    it the GLOBAL running offset is computed with the two-phase cumsum:
+    range-partition by ``order_col``, per-partition token subtotals
+    (#partitions rows) prefix-summed on the driver, broadcast back —
+    the exact global cumsum with no single-partition window anywhere.
+    """
+    ntok = (F.col(n_tok_col) if isinstance(n_tok_col, str)
+            else n_tok_col if n_tok_col is not None
+            else token_count(text_col))
+    base = df.withColumn("__ntok", ntok.cast("long")).where(F.col("__ntok") > 0)
+
+    if partition_by:
+        w = (Window.partitionBy(*partition_by)
+             .orderBy(order_col, id_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = base.withColumn("__end", F.sum("__ntok").over(w))
+        keep = list(partition_by)
+    else:
+        nparts = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        ranged = base.repartitionByRange(nparts, F.col(order_col), F.col(id_col))
+        with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+        # partition boundaries may differ run-to-run (range sampling), but
+        # the global cumsum is invariant to where the cuts fall
+        subtotals = {r["__pid"]: r["__t"] for r in
+                     with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("__t")).collect()}
+        offs, acc = {}, 0
+        for pid in sorted(subtotals):
+            offs[pid] = acc
+            acc += subtotals[pid]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offs.items()) for x in kv]),
+            F.col("__pid"),
+        ) if offs else F.lit(0)
+        wloc = (Window.partitionBy("__pid")
+                .orderBy(order_col, id_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = with_pid.withColumn("__end", F.sum("__ntok").over(wloc) + off_expr)
+        keep = []
+
+    start = F.col("__end") - F.col("__ntok")
+    first_seq = F.floor(start / budget)
+    last_seq = F.floor((F.col("__end") - 1) / budget)
+    out = (
+        cum.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+        .select(
+            *keep,
+            F.col("seq_id").cast("long"),
+            F.col(id_col),
+            F.greatest(start - F.col("seq_id") * budget, F.lit(0)).alias("seq_off"),
+            (F.least(F.col("__end"), (F.col("seq_id") + 1) * budget)
+             - F.greatest(start, F.col("seq_id") * budget)).alias("n_tok_in_seq"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_M = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose key hashes
+    into the first ``fraction`` of 1e6 buckets.  Repeatable across
+    runs, machines, and engines (unlike ``df.sample``, whose output
+    depends on partitioning).  Default hash is ``xxhash64(key, seed)``;
+    pass ``hash_col`` to substitute e.g. an engine-portable hash."""
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(key_col), F.lit(seed))
+    return df.where(F.pmod(h, F.lit(_SAMPLE_M)) < int(fraction * _SAMPLE_M))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 1.0,
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps
+    ``rates[s]`` of its rows (strata absent from ``rates`` keep
+    ``default_rate``).  Same hash-bucket rule as :func:`hash_sample`,
+    so a row's fate is a pure function of (key, seed) — rerunning after
+    upstream changes keeps every previously kept row whose stratum rate
+    did not drop."""
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(key_col), F.lit(seed))
+    thresh = F.lit(int(default_rate * _SAMPLE_M))
+    if rates:
+        rate_map = F.create_map(
+            *[F.lit(x) for k, r in sorted(rates.items())
+              for x in (k, int(r * _SAMPLE_M))])
+        thresh = F.coalesce(
+            F.element_at(rate_map, F.col(strata_col)).cast("long"), thresh)
+    return df.where(F.pmod(h, F.lit(_SAMPLE_M)) < thresh)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# dialect-portable regexes (identical semantics in Java regex and RE2:
+# character classes, bounded repeats, \b ASCII word boundaries only)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9 -]{6,}[0-9]"
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace email / IPv4 / international-phone-shaped spans with
+    ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` tags (applied in that order so
+    digits inside an address are never re-matched as a phone)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def pii_features(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """``(id, n_emails, n_ips, n_phones, clean_text)`` per document —
+    counts are over the raw text (email/IP first so phone never counts
+    digit runs already inside an address), redaction via
+    :func:`pii_redact`."""
+    c = F.col(text_col)
+    no_addr = F.regexp_replace(F.regexp_replace(c, EMAIL_RE, " "), IPV4_RE, " ")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(f"({EMAIL_RE})"))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(f"({IPV4_RE})"))).alias("n_ips"),
+        F.size(F.regexp_extract_all(no_addr, F.lit(f"({PHONE_RE})"))).alias("n_phones"),
+        pii_redact(c).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture weights
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: Mapping[str, float],
+    strata_col: str = "source",
+    n_tok_col: str | Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain token accounting vs a target mixture: returns
+    ``(strata, n_docs, n_tokens, share, weight)`` where ``share`` is
+    the domain's fraction of corpus tokens and ``weight = target_share
+    / share`` is the resampling factor that hits the target (domains
+    absent from ``target`` get weight 0.0 — drop).  One aggregation;
+    the share normalization windows over #domains rows, not data."""
+    ntok = (F.col(n_tok_col) if isinstance(n_tok_col, str)
+            else n_tok_col if n_tok_col is not None
+            else token_count(text_col))
+    agg = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok.cast("long")).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    share = (F.col("n_tokens") / F.sum("n_tokens").over(total))
+    tmap = (F.create_map(*[F.lit(x) for k, v in sorted(target.items())
+                           for x in (k, float(v))])
+            if target else F.create_map())
+    tshare = F.coalesce(F.element_at(tmap, F.col(strata_col)), F.lit(0.0))
+    return agg.select(
+        strata_col, "n_docs", "n_tokens",
+        share.alias("share"),
+        (tshare / share).alias("weight"),
+    )

@@ -1,0 +1,164 @@
+"""Corpus-construction operators: decontamination, sequence packing,
+deterministic sampling, PII redaction, mixture weights."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_spark.operators.corpus import (
+    contamination,
+    decontaminate,
+    hash_sample,
+    mixture_weights,
+    pack_sequences,
+    pii_features,
+    pii_redact,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_decontaminate_removes_exactly_contaminated(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares 'alpha beta gamma'
+            (2, "epsilon zeta eta theta"),        # clean
+            (3, "one two three four five"),       # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma suffix")], "doc_id long, text string")
+    hits = {r["doc_id"]: r["n_hits"] for r in contamination(df, bench, n=3).collect()}
+    assert hits == {1: 1}
+    kept = {r["doc_id"] for r in decontaminate(df, bench, n=3).collect()}
+    assert kept == {2, 3}
+
+
+def test_contamination_counts_distinct_ngrams(spark):
+    # doc repeats the contaminated trigram twice -> still ONE distinct hit
+    df = spark.createDataFrame(
+        [(1, "a b c x a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    assert contamination(df, bench, n=3).collect()[0]["n_hits"] == 1
+
+
+def _pack_invariants(rows, budget):
+    """Every sequence except per-group last is exactly full; offsets of
+    consecutive docs within a sequence tile it with no gaps."""
+    by_seq: dict = {}
+    for r in rows:
+        by_seq.setdefault((r["source"], r["seq_id"]) if "source" in r.__fields__
+                          else r["seq_id"], []).append(r)
+    for key, chunk in by_seq.items():
+        chunk.sort(key=lambda r: r["seq_off"])
+        pos = 0
+        for r in chunk:
+            assert r["seq_off"] == pos, (key, r)
+            pos += r["n_tok_in_seq"]
+        assert pos <= budget
+
+
+def test_pack_sequences_partitioned(spark, docs):
+    out = pack_sequences(docs, budget=100, partition_by=["source"]).collect()
+    _pack_invariants(out, 100)
+    # token conservation per source
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + r["n_tok_in_seq"]
+    want = {r["source"]: r["t"] for r in docs.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                              lambda w: w != ""))).alias("t")).collect()}
+    assert got == want
+
+
+def test_pack_sequences_global_two_phase(spark, docs):
+    """Global packing (two-phase cumsum, no single-partition window)
+    equals a per-source-free reference computed with one window."""
+    out = pack_sequences(docs, budget=128).collect()
+    _pack_invariants(out, 128)
+    from pyspark.sql import Window
+    ref = (
+        docs.withColumn("__n", F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                                               lambda w: w != "")).cast("long"))
+        .where(F.col("__n") > 0)
+        .withColumn("__e", F.sum("__n").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+        .select("doc_id", "__n", "__e")
+    ).collect()
+    ref_ends = {r["doc_id"]: r["__e"] for r in ref}
+    # reconstruct each doc's global end position from pack output
+    ends: dict = {}
+    for r in out:
+        end = r["seq_id"] * 128 + r["seq_off"] + r["n_tok_in_seq"]
+        ends[r["doc_id"]] = max(ends.get(r["doc_id"], 0), end)
+    assert ends == ref_ends
+
+
+def test_pack_drops_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "   "), (3, "three")], "doc_id long, text string")
+    out = pack_sequences(df, budget=10, partition_by=None)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_hash_sample_deterministic_and_sized(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=7).select("doc_id").collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n
+    # a larger fraction at the same seed is a SUPERSET (bucket rule)
+    big = {r["doc_id"] for r in hash_sample(docs, 0.6, seed=7).select("doc_id").collect()}
+    assert a <= big
+
+
+def test_stratified_sample_rates(docs):
+    out = stratified_sample(docs, {"src0": 1.0, "src1": 0.0}, default_rate=0.5)
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    n0 = docs.where(F.col("source") == "src0").count()
+    assert per["src0"] == n0          # rate 1.0 keeps everything
+    assert "src1" not in per          # rate 0.0 drops everything
+    others = sum(v for k, v in per.items() if k not in ("src0", "src1"))
+    n_others = docs.where(~F.col("source").isin("src0", "src1")).count()
+    assert 0.3 * n_others < others < 0.7 * n_others
+
+
+def test_pii_redact_tags_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "email a.b-c@sub.ex-ample.org then +44 20 7946 0958 and "
+             "server 192.168.0.254 done"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_features(df).collect()}
+    r1 = out[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 1, 1)
+    assert r1["clean_text"] == "email <EMAIL> then <PHONE> and server <IP> done"
+    r2 = out[2]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["clean_text"] == "no pii here at all"
+
+
+def test_pii_redact_email_digits_not_phone(spark):
+    # digits inside an email local part must not be counted as a phone
+    df = spark.createDataFrame(
+        [(1, "reach +1234567890 or 12345678@qq.com ok")], "doc_id long, text string")
+    r = pii_features(df).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 1
+    assert r["clean_text"] == "reach <PHONE> or <EMAIL> ok"
+
+
+def test_mixture_weights_shares_sum_to_one(docs):
+    out = mixture_weights(docs, {"src0": 0.6, "src1": 0.4}).collect()
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+    w = {r["source"]: r for r in out}
+    # target/actual: src0 has ~1/20 of tokens, so weight ~ 12
+    assert w["src0"]["weight"] == pytest.approx(
+        0.6 / w["src0"]["share"], rel=1e-9)
+    assert all(r["weight"] == 0.0 for r in out
+               if r["source"] not in ("src0", "src1"))
