@@ -62,26 +62,82 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
+def _minhash_perm_consts(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed (a, b) multiply-add constants for the permutation family
+    h_j(x) = a_j * x + b_j (mod 2^64), a_j odd. Seeded, so signatures
+    are deterministic across runs, processes, and machines."""
+    rng = np.random.RandomState(0xFEA7)
+    a = rng.randint(1, 1 << 62, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
                       shingle_n: int = 3, out_col: str = "minhash",
-                      id_col: str = "doc_id") -> DataFrame:
-    """array<long> MinHash signature: sig[j] = min over shingles s of
-    xxhash64(s, j), computed entirely JVM-side as explode →
-    groupBy(id).agg(min(hash(s, j)) for j) — one shuffle with map-side
-    combine, so per-row work is O(|shingles| * num_hashes) exactly once
-    (a nested ``transform(sequence(...))`` form re-evaluates the shingle
-    expression per hash function — 64x blow-up at corpus scale)."""
-    sh_ex = df.select(
-        F.col(id_col).alias("__mh_id"),
-        F.explode(shingle_hashes(text_col, shingle_n)).alias("__sh"),
-    )
-    aggs = [F.min(F.xxhash64("__sh", F.lit(j))).alias(f"__s{j}") for j in range(num_hashes)]
-    sigs = (
-        sh_ex.groupBy("__mh_id").agg(*aggs)
-        .select("__mh_id", F.array(*[f"__s{j}" for j in range(num_hashes)]).alias(out_col))
-    )
-    # empty shingle set -> null signature (short docs never near-dup match)
-    return df.join(sigs, df[id_col] == sigs["__mh_id"], "left").drop("__mh_id")
+                      id_col: str = "doc_id", impl: str = "arrow") -> DataFrame:
+    """array<long> MinHash signature per document.
+
+    ``impl="arrow"`` (default): shingle hashes come from the JVM
+    (:func:`shingle_hashes`, one xxhash64 per shingle), then a
+    vectorized Arrow kernel derives the ``num_hashes`` permutation
+    minima with multiply-add universal hashing
+    (``min_s(a_j * h(s) + b_j mod 2^64)``, numpy ``minimum.reduceat``
+    over the batch-flattened shingle stream). Purely row-local: NO
+    shuffle, no explode — the map-only scale path.
+
+    ``impl="jvm"``: the all-JVM form — explode shingles →
+    ``groupBy(id).agg(min(xxhash64(s, j)) for j)``. One shuffle with
+    map-side combine (shingles of a doc co-reside, so one row per doc
+    crosses the wire), but evaluates num_hashes xxhash64 expressions
+    per shingle row — measured ~6x slower than the Arrow kernel. Kept
+    for Python-worker-free deployments.
+
+    Either way: empty shingle set -> null signature (short docs never
+    near-dup match). The two impls use different (equally valid)
+    permutation families, so signatures are NOT comparable across
+    impls — pick one per pipeline. Exact-verify consumers
+    (:func:`ngram_jaccard_pairs`, ``verify="exact"``) emit
+    text-deterministic output under both."""
+    if impl == "jvm":
+        sh_ex = df.select(
+            F.col(id_col).alias("__mh_id"),
+            F.explode(shingle_hashes(text_col, shingle_n)).alias("__sh"),
+        )
+        aggs = [F.min(F.xxhash64("__sh", F.lit(j))).alias(f"__s{j}")
+                for j in range(num_hashes)]
+        sigs = (
+            sh_ex.groupBy("__mh_id").agg(*aggs)
+            .select("__mh_id",
+                    F.array(*[f"__s{j}" for j in range(num_hashes)]).alias(out_col))
+        )
+        return df.join(sigs, df[id_col] == sigs["__mh_id"], "left").drop("__mh_id")
+
+    a_c, b_c = _minhash_perm_consts(num_hashes)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(sh_arrs: pd.Series) -> pd.Series:
+        lens = np.array([0 if a is None else len(a) for a in sh_arrs], dtype=np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series([None] * len(sh_arrs))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in sh_arrs[nonempty]]
+        ).view(np.uint64)
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        # one pass per hash fn keeps peak memory at O(|batch shingles|),
+        # not O(|shingles| * num_hashes)
+        mins = np.empty((len(starts), len(a_c)), dtype=np.uint64)
+        for j in range(len(a_c)):
+            mins[:, j] = np.minimum.reduceat(a_c[j] * flat + b_c[j], starts)
+        rows = mins.view(np.int64)
+        vals = np.empty(len(rows), dtype=object)
+        vals[:] = [r for r in rows]
+        out = np.empty(len(sh_arrs), dtype=object)
+        out[nonempty] = vals
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sigs(shingle_hashes(text_col, shingle_n)))
 
 
 def _band_buckets(df: DataFrame, sig_col: str, bands: int, rows: int,
@@ -233,7 +289,9 @@ def minhash_lsh_dedup(
         ).select("id_a", "id_b")
     else:
         rows = num_hashes // bands
-        sigs = minhash_signature(df, text_col, num_hashes, shingle_n, id_col=id_col)
+        # signatures feed banding + both pair-attach joins: persist one copy
+        sigs = minhash_signature(df, text_col, num_hashes, shingle_n,
+                                 id_col=id_col).select(id_col, "minhash").persist()
         pairs = lsh_candidate_pairs(sigs, "minhash", id_col, bands, rows)
         verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
             .select("id_a", "id_b")
@@ -289,9 +347,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         shingle_n: int = 3, threshold: float = 0.5,
                         bands: int = 16, num_hashes: int = 64) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidate pairs:
-    |A ∩ B| / |A ∪ B| over distinct shingle-hash sets."""
-    with_sets = minhash_signature(df, text_col, num_hashes, shingle_n) \
+    |A ∩ B| / |A ∪ B| over distinct shingle-hash sets.
+
+    The (id, signature, shingle-set) fingerprint table feeds three plan
+    subtrees (banding + both verify-join sides), so it is persisted
+    rather than recomputed per subtree — at corpus scale this is the
+    fingerprint table a pipeline materializes to storage once anyway."""
+    with_sets = (
+        minhash_signature(df, text_col, num_hashes, shingle_n)
         .withColumn("__set", shingle_hashes(text_col, shingle_n))
+        .select(F.col(id_col), F.col("minhash"), F.col("__set"))
+        .persist()
+    )
     pairs = lsh_candidate_pairs(with_sets, "minhash", id_col, bands, num_hashes // bands)
     sets = with_sets.select(F.col(id_col), F.col("__set"))
     pairs = (
@@ -323,7 +390,9 @@ def simhash_verified_pairs(
     the emitted values depend only on the text, not on hash internals."""
     sh = simhash(df.select(id_col, text_col), text_col, id_col)
     cand = simhash_near_dup_pairs(sh, "simhash", id_col, max_hamming).select("id_a", "id_b")
-    sets = df.select(F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__set"))
+    # both verify-join sides read the shingle sets — persist one copy
+    # (the fingerprint table you'd materialize once at corpus scale)
+    sets = df.select(F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__set")).persist()
     pairs = (
         cand
         .join(sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
@@ -347,34 +416,37 @@ _SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash per document via an Arrow-batched pandas UDF
-    (bit-parallel numpy; the per-term ±1 accumulation has no built-in
-    Spark form — this is the sanctioned slow path, ~1 µs/doc)."""
+    """64-bit SimHash per document. Word hashes are computed JVM-side
+    (one xxhash64 per word — codegen, no Python string handling); only
+    the per-term ±1 bit accumulation, which has no built-in Spark form,
+    runs in a vectorized Arrow kernel: per batch, one
+    ``add.reduceat`` pass per bit over the flattened word-hash stream.
+    Row-local, no shuffle; deterministic across runs and machines.
+    Documents with no words hash to 0 (never near-dup candidates)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    whashes = F.transform(words, lambda w: F.xxhash64(w))
 
     @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            words = str(t).lower().split()
-            if not words:
-                continue
-            hs = np.array([hash_word(w) for w in words], dtype=np.uint64)
-            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    def _simhash(h_arrs: pd.Series) -> pd.Series:
+        out = np.zeros(len(h_arrs), dtype=np.uint64)
+        lens = np.array([0 if a is None else len(a) for a in h_arrs], dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in h_arrs[nonempty]]
+            ).view(np.uint64)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            sig = np.zeros(len(starts), dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(64):
+                pm = (((flat >> np.uint64(b)) & one).astype(np.int64) * 2 - 1)
+                sig |= ((np.add.reduceat(pm, starts) > 0).astype(np.uint64)
+                        << np.uint64(b))
+            out[nonempty] = sig
         return pd.Series(out.view(np.int64))
 
-    def hash_word(w: str) -> int:
-        # FNV-1a 64-bit: deterministic across processes (unlike hash())
-        h = 0xCBF29CE484222325
-        for ch in w.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    return df.withColumn(out_col, _simhash(whashes))
 
 
 def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
