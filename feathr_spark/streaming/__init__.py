@@ -1,6 +1,7 @@
 """Structured Streaming feature ingestion + stateful windowed operators."""
 
 from feathr_spark.streaming.ingest import (  # noqa: F401
+    stream_dedup,
     stream_features,
     stream_session_agg,
     stream_to_sink,

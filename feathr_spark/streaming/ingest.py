@@ -103,6 +103,37 @@ def stream_session_agg(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    ts_col: str,
+    content_cols: Sequence[str],
+    watermark: str = "1 hour",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content fingerprint was
+    already seen within the watermark horizon — the streaming analogue
+    of ``operators.dedup.exact_dedup``.
+
+    The fingerprint is ``xxhash64`` over the listed content columns
+    (text columns normalized first when ``normalize=True``, matching
+    the batch op).  Built on ``dropDuplicatesWithinWatermark`` so the
+    dedup state is BOUNDED: fingerprints older than ``watermark`` are
+    evicted, the only scale-safe contract on an unbounded stream (an
+    unwindowed ``dropDuplicates`` grows state forever).  Within-batch
+    and cross-batch duplicates inside the horizon are both dropped;
+    a duplicate arriving after the horizon passes through — pair with
+    a periodic batch :func:`~feathr_spark.operators.dedup.exact_dedup`
+    compaction for exactness beyond it."""
+    from feathr_spark.operators.text import normalize_text
+
+    parts = [
+        normalize_text(c) if normalize else F.col(c).cast("string")
+        for c in content_cols
+    ]
+    fp = stream_df.withColumn("__fp", F.xxhash64(*parts)).withWatermark(ts_col, watermark)
+    return fp.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+
+
 def stream_to_sink(
     df: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

@@ -107,17 +107,39 @@ def test_stream_session_agg(spark, src_dir, tmp_path):
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
+    from feathr_spark.streaming import stream_dedup
+
     p = str(tmp_path / "dup_src")
     _write_batch(spark, p, [
-        ("u1", "2024-01-01 00:00:10", 1.0, "click"),
-        ("u1", "2024-01-01 00:00:10", 1.0, "click"),  # exact dup (retry)
-        ("u2", "2024-01-01 00:01:00", 2.0, "view"),
+        ("u1", "2024-01-01 00:00:10", 1.0, "Hello,  World!"),
+        ("u2", "2024-01-01 00:01:00", 2.0, "hello world"),  # same normalized content
+        ("u3", "2024-01-01 00:02:00", 3.0, "something else"),
     ])
     stream = spark.readStream.schema(SCHEMA).parquet(p)
-    dedup = stream.withWatermark("ts", "1 hour") \
-        .dropDuplicatesWithinWatermark(["uid", "ts"])
-    rows = _run_to_rows(spark, dedup, tmp_path, "dedup", mode="append")
+    dedup = stream_dedup(stream, "ts", ["et"], watermark="1 hour")
+    rows = _run_to_rows(spark, dedup, tmp_path, "sdedup", mode="append")
+    # normalization folds "Hello,  World!" and "hello world" into one fingerprint
     assert len(rows) == 2
+    assert {r["et"] for r in rows} == {"Hello,  World!", "something else"} or \
+           {r["et"] for r in rows} == {"hello world", "something else"}
+    assert "__fp" not in dedup.columns
+
+    # a duplicate arriving in a LATER batch but inside the watermark
+    # horizon is dropped by the cross-batch fingerprint state
+    _write_batch(spark, p, [
+        ("u4", "2024-01-01 00:05:00", 4.0, "HELLO world."),
+        ("u5", "2024-01-01 00:06:00", 5.0, "brand new doc"),
+    ])
+    rows2 = _run_to_rows(spark, stream_dedup(
+        spark.readStream.schema(SCHEMA).parquet(p), "ts", ["et"], watermark="1 hour"),
+        tmp_path, "sdedup", mode="append")  # same checkpoint -> only new file
+    assert {r["et"] for r in rows2} == {"brand new doc"}
+
+    # normalize=False keys on the raw string: case variants survive
+    raw = stream_dedup(spark.readStream.schema(SCHEMA).parquet(p), "ts", ["et"],
+                       watermark="1 hour", normalize=False)
+    rows3 = _run_to_rows(spark, raw, tmp_path, "sdedup_raw", mode="append")
+    assert len(rows3) == 5
 
 
 def test_stream_running_features_matches_batch(spark, sf_dir, tmp_path):
