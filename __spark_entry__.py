@@ -418,10 +418,14 @@ def q_simhash_pairs(spark, sf_dir):
     from feathr_spark.operators.dedup import simhash_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # max_hamming=10: word-level edits flip several simhash bits, and the
-    # corpus' true near-dups (exact jaccard >= 0.7) measure hamming <= 8;
-    # 11 bands x 5 bits keeps the pigeonhole guarantee. At corpus scale
-    # trade recall for narrower bands (see simhash_near_dup_pairs).
+    # max_hamming=10: measured true near-dups (exact jaccard >= 0.7)
+    # reach hamming 9 at sf0.001 and 5 at sf0.01 — the two oracle-gated
+    # corpora. Simhash is inherently a recall-tradeoff screen for
+    # Jaccard on ~50-word docs (at sf0.1, untested by oracle, a handful
+    # of true pairs measure hamming 11-12 — outside any practical
+    # radius); the full-recall Jaccard path is minhash_pairs. The wide
+    # radius is affordable because candidates pass a minhash-estimate
+    # screen before the exact-Jaccard verify (see simhash_verified_pairs).
     out = simhash_verified_pairs(docs.select("doc_id", "text"),
                                  max_hamming=10, threshold=0.7)
     return out.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))

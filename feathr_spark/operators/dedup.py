@@ -366,8 +366,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b"), "id_b")
     )
+    # |A u B| = |A| + |B| - |A n B|: one hash-set pass per pair instead
+    # of two (array_union re-hashes both arrays; sizes are O(1))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", (inter / F.greatest(union, F.lit(1.0))))
         .where(F.col("jaccard") >= threshold)
@@ -382,14 +384,41 @@ def simhash_verified_pairs(
     max_hamming: int = 3,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    screen_margin: float | None = 0.3,
 ) -> DataFrame:
     """SimHash-candidate near-dup pairs VERIFIED by exact shingle-set
     Jaccard: simhash Hamming banding generates candidates (the scale
     path — no cross join), exact Jaccard ≥ threshold confirms them.
     Returns (id_a, id_b, jaccard) — recomputable by a SQL oracle since
-    the emitted values depend only on the text, not on hash internals."""
+    the emitted values depend only on the text, not on hash internals.
+
+    A wide Hamming radius admits orders of magnitude more candidates
+    than survive the Jaccard threshold (simhash on short docs is a
+    loose screen), and the exact verify — two ~|shingles|-element
+    array_intersect joins per pair — dominates. So candidates first
+    pass a MinHash estimate screen: est = fraction of 64 signature
+    slots agreeing, a 64-element compare ~|shingles|/64x cheaper, keep
+    est >= threshold - screen_margin. The margin is a recall bound:
+    for a true pair at exactly j = threshold = 0.7, est ~ Bin(64,
+    0.7)/64, and P(est < 0.4) < 1e-8 — the screen is statistically
+    lossless while pruning the (j ~ 0) candidate bulk. Set
+    ``screen_margin=None`` to exact-verify every candidate."""
     sh = simhash(df.select(id_col, text_col), text_col, id_col)
     cand = simhash_near_dup_pairs(sh, "simhash", id_col, max_hamming).select("id_a", "id_b")
+    if screen_margin is not None:
+        sigs = minhash_signature(df.select(id_col, text_col), text_col,
+                                 num_hashes=64, shingle_n=shingle_n).select(
+            F.col(id_col), F.col("minhash")).persist()
+        est_pairs = (
+            cand
+            .join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")), "id_a")
+            .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")), "id_b")
+        )
+        est = (
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda z: z)).cast("double") / F.lit(64.0)
+        )
+        cand = est_pairs.where(est >= threshold - screen_margin).select("id_a", "id_b")
     # both verify-join sides read the shingle sets — persist one copy
     # (the fingerprint table you'd materialize once at corpus scale)
     sets = df.select(F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__set")).persist()
@@ -398,8 +427,10 @@ def simhash_verified_pairs(
         .join(sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")), "id_b")
     )
+    # |A u B| = |A| + |B| - |A n B|: one hash-set pass per pair instead
+    # of two (array_union re-hashes both arrays; sizes are O(1))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
         .where(F.col("jaccard") >= threshold)
@@ -456,13 +487,19 @@ def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
     join: split 64 bits into (max_hamming+1) bands; any pair within
     distance must agree exactly on >= 1 band.
 
-    Note band width is 64/(max_hamming+1) bits — keep max_hamming <= 3
-    at corpus scale (4 bands x 16 bits); larger distances shrink bands
-    and the bucket join degenerates toward a cross join. Buckets larger
-    than ``max_bucket`` are truncated (rank by id) to bound the blow-up.
+    Buckets larger than ``max_bucket`` are truncated (rank by id) to
+    bound the blow-up. Exact-band width is 64/(max_hamming+1) bits;
+    once that drops below 8 bits (max_hamming >= 7) the bucket keyspace
+    collapses (<= 128 values) and the band join degenerates toward a
+    cross join, so large radii route to the multi-probe scheme
+    (:func:`_simhash_pairs_multiprobe`): half as many bands, each twice
+    as wide, tolerating <=1 differing bit per band via single-bit-flip
+    query expansion — the HmSearch/PartEnum construction.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
+    if width < 8:
+        return _simhash_pairs_multiprobe(df, sim_col, id_col, max_hamming, max_bucket)
     src = df.select(F.col(id_col), F.col(sim_col))
     band_structs = [
         F.struct(
@@ -507,6 +544,101 @@ def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",
     hamming = F.bit_count(xor)
     return (
         pairs.where((hamming <= max_hamming) & (F.col("band_id") == first_match))
+        .withColumn("hamming", hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_pairs_multiprobe(df: DataFrame, sim_col: str, id_col: str,
+                              max_hamming: int, max_bucket: int) -> DataFrame:
+    """Hamming <= d pairs via wide bands + 1-bit multi-probe.
+
+    Split 64 bits into m = ceil((d+1)/2) bands: if every band of a pair
+    differed in >= 2 bits the total distance would be >= 2m >= d+1, so
+    some band differs in <= 1 bit. The probe side therefore emits, per
+    band, the original value plus every single-bit flip (width+1 keys);
+    the build side emits originals only. For d=10 that is 6 bands of
+    10-11 bits (1024-2048 bucket values) instead of 11 bands of 5 bits
+    (32 values) — ~64x smaller buckets for ~6x more probe keys, which
+    is the winning trade everywhere past trivial corpus sizes: join
+    work scales with sum(bucket^2), probe rows only linearly.
+
+    A pair can match several (band, probe) keys and in both probe
+    directions; rather than funneling the raw match stream through a
+    ``dropDuplicates`` shuffle (the match stream, not the final pair
+    set, is the dominant volume — hot buckets from simhash bit bias),
+    each pair is kept ONLY at its unique first match: for xor x, the
+    first band with popcount(band(x)) <= 1, and within it the single
+    probe that can have matched (the differing bit's flip, or the
+    original when the band agrees exactly). That is pure bit math on
+    sim_a^sim_b, evaluated inline in the join stage — exactly one row
+    per qualifying pair survives, map-side, no extra shuffle.
+    ``max_bucket`` caps the build side per bucket (rank by id).
+    """
+    from pyspark.sql import Window
+
+    m = (max_hamming + 2) // 2
+    base, rem = divmod(64, m)
+    widths = [base + 1 if b < rem else base for b in range(m)]
+    offsets = [sum(widths[:b]) for b in range(m)]
+    src = df.select(F.col(id_col), F.col(sim_col))
+
+    def _band_val(b: int):
+        return (F.shiftrightunsigned(F.col(sim_col), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)))
+
+    build = src.select(
+        id_col, sim_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), _band_val(b).alias("band_val"))
+            for b in range(m)
+        ])).alias("band"),
+    ).select(F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"),
+             "band.band_id", "band.band_val")
+    w = Window.partitionBy("band_id", "band_val").orderBy("id_b")
+    build = build.withColumn("__rn", F.row_number().over(w)) \
+        .where(F.col("__rn") <= max_bucket).drop("__rn")
+
+    probe_structs = []
+    for b in range(m):
+        val = _band_val(b)
+        for flip in range(widths[b] + 1):  # flip==widths[b] -> original
+            probed = val if flip == widths[b] else \
+                val.bitwiseXOR(F.lit(1 << flip))
+            probe_structs.append(F.struct(
+                F.lit(b).alias("band_id"), F.lit(flip).alias("probe_id"),
+                probed.alias("band_val")))
+    probe = src.select(
+        id_col, sim_col, F.explode(F.array(*probe_structs)).alias("band")
+    ).select(F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"),
+             "band.band_id", "band.probe_id", "band.band_val")
+
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+
+    def _band_xor(b: int):
+        return (F.shiftrightunsigned(xor, offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)))
+
+    first_band = F.when(F.bit_count(_band_xor(0)) <= 1, 0)
+    for b in range(1, m):
+        first_band = first_band.when(F.bit_count(_band_xor(b)) <= 1, b)
+    # within the first matching band exactly one probe matched: the flip
+    # of the single differing bit (its position = popcount(xb-1) for a
+    # one-bit xb), or the original probe (probe_id == band width) when
+    # the band agrees exactly
+    band_xor = F.when(F.col("band_id") == 0, _band_xor(0))
+    for b in range(1, m):
+        band_xor = band_xor.when(F.col("band_id") == b, _band_xor(b))
+    band_width = F.when(F.col("band_id") < rem, base + 1).otherwise(base)
+    expected_probe = F.when(band_xor == 0, band_width) \
+        .otherwise(F.bit_count(band_xor - 1))
+    hamming = F.bit_count(xor)
+    return (
+        probe.join(build, ["band_id", "band_val"])
+        .where((F.col("id_a") < F.col("id_b"))
+               & (hamming <= max_hamming)
+               & (F.col("band_id") == first_band)
+               & (F.col("probe_id") == expected_probe))
         .withColumn("hamming", hamming)
         .select("id_a", "id_b", "hamming")
     )
