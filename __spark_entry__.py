@@ -317,6 +317,26 @@ def q_derived_features(spark, sf_dir):
     return out.select("o_orderkey", "price_bucket", "is_urgent", "urgency_price")
 
 
+def q_mvel_features(spark, sf_dir):
+    """Row-level features defined in MVEL (the reference's anchor
+    `def:` language) translated to Spark SQL by the subset translator
+    (functions/mvel.py; reference MvelContextUDFs.java +
+    SimpleConfigurableAnchorExtractor.scala) — evaluation is all
+    Catalyst, no MVEL runtime, no Python row path."""
+    from feathr_spark.functions.mvel import MvelAnchorExtractor
+
+    ev = _t(spark, sf_dir, "events")
+    ex = MvelAnchorExtractor({
+        "val_log": "isPresent(value) ? Math.log(value + 1.0) : null",
+        "is_click": "event_type.equals('click') ? 1 : 0",
+        "etype2": "event_type.substring(0, 2).toUpperCase()",
+        "val_bucket": "(Integer) (toNumeric(value) / 10.0)",
+    })
+    return ex.apply(ev).select(
+        "event_id", F.round("val_log", 6).alias("val_log"), "is_click",
+        "etype2", "val_bucket")
+
+
 def q_json_extract(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -961,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_two_hop": q_lookup_two_hop,
         "lookup_union_agg": q_lookup_union_agg,
         "derived_features": q_derived_features,
+        "mvel_features": q_mvel_features,
         "json_extract": q_json_extract,
         "token_counts": q_token_counts,
         "quality_features": q_quality,
@@ -1189,6 +1210,15 @@ def oracle_sql() -> dict[str, str]:
                    round((CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) * o_totalprice, 2)
                        AS urgency_price
             FROM orders
+        """,
+        "mvel_features": """
+            SELECT event_id,
+                   round(CASE WHEN value IS NOT NULL THEN ln(value + 1.0) END, 6) AS val_log,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+                   upper(substring(event_type, 1, 2)) AS etype2,
+                   -- Java (Integer) truncates toward zero; DuckDB CAST rounds
+                   CAST(trunc(value / 10.0) AS INTEGER) AS val_bucket
+            FROM events
         """,
         "json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
