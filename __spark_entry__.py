@@ -689,6 +689,23 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): drop every
+    row with a cosine >= threshold neighbor of smaller id. Contract
+    runs strategy='exact' (all-pairs, oracle-reproducible — this
+    corpus' near-dups sit at cosine ~0.45, un-bucketable at any
+    angle-LSH width); the lsh/ivf scale strategies are recall-tested
+    against exact in tests/test_similarity_mm.py."""
+    from feathr_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+                "label")
+    out = semantic_dedup(emb, dim=64, threshold=0.42, strategy="exact",
+                         id_col="vec_id", vec_col="v")
+    return out.select("vec_id", "label")
+
+
 def q_near_dup_embeddings(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact brute-force baseline
     (the LSH-bucketed variant is q_ann_lsh, rows-only)."""
@@ -1006,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "ann_lsh": q_ann_lsh,
         "rollup_distinct_daily": q_rollup_distinct_daily,
         "swa_lateral": q_swa_lateral,
@@ -1437,6 +1455,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 5) AS cosine FROM p WHERE c >= 0.42
+        """,
+        "semantic_dedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v)
+                      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.42
+            )
+            SELECT vec_id, label FROM e
+            WHERE vec_id NOT IN (SELECT id_b FROM p)
         """,
         "rollup_distinct_daily": """
             SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,

@@ -369,3 +369,111 @@ def quantize_embeddings(
                    F.transform(x, lambda v: F.lit(0))).otherwise(qexpr)
     return df.withColumn(q_col, qexpr.cast("array<tinyint>")) \
              .withColumn(scale_col, F.coalesce(scale, F.lit(0.0)))
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    strategy: str = "lsh",
+    n_bits: int = 12,
+    n_centroids: int = 64,
+    kmeans_iters: int = 5,
+    sample_size: int = 20000,
+    max_cell: int = 20000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b, cosine) semantic near-dup candidate pairs with
+    cosine >= threshold.
+
+    ``strategy="lsh"``: random-hyperplane buckets
+    (:func:`embedding_near_dup_pairs`) — no global model, fully
+    data-parallel; at very high thresholds recall is near-exact.
+
+    ``strategy="ivf"``: the SemDeDup shape — coarse k-means cells (fit
+    driver-side on a bounded sample, exactly like the IVF quantizer),
+    pairs enumerated only within a cell. Cells are semantically
+    coherent, so near-dups co-locate; ``max_cell`` (rank by id) bounds
+    the per-cell quadratic blow-up the same way LSH buckets are capped.
+
+    ``strategy="exact"``: all-pairs self-join — O(n²), for small
+    corpora and as the recall baseline the bucketed strategies are
+    tested against. Bucketed recall is a function of the threshold
+    angle: near-identical vectors (the semantic-dedup regime,
+    threshold >= 0.95) co-bucket with probability ~(1 - θ/π)^n_bits →
+    ~1, while low thresholds need the exact path.
+    """
+    if strategy == "lsh":
+        return embedding_near_dup_pairs(df, dim, threshold, n_bits, seed,
+                                        id_col, vec_col)
+    if strategy == "exact":
+        e = df.select(F.col(id_col), F.col(vec_col))
+        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        cos = cosine_sim(F.col("va"), F.col("vb"))
+        return (pairs.withColumn("cosine", cos.cast("double"))
+                .where(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))
+    if strategy != "ivf":
+        raise ValueError(f"unknown semantic-dedup strategy {strategy!r}")
+    from pyspark.sql import Window
+
+    sample_rows = df.select(vec_col).where(F.col(vec_col).isNotNull()) \
+        .limit(sample_size).collect()
+    if not sample_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double")
+    sample = np.stack([r[vec_col] for r in sample_rows]).astype(np.float32)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _fit_centroids(sample, n_centroids, kmeans_iters, seed)
+    cells = ivf_assign(df.select(id_col, vec_col), cent, vec_col)
+    w = Window.partitionBy("ivf_cell").orderBy(id_col)
+    cells = cells.withColumn("__rn", F.row_number().over(w)) \
+        .where(F.col("__rn") <= max_cell).drop("__rn")
+    left = cells.select(F.col("ivf_cell"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    right = cells.select(F.col("ivf_cell"), F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb"))
+    pairs = left.join(right, "ivf_cell").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cosine", cos.cast("double"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    strategy: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Drop rows that are semantic near-duplicates of a lower-id row.
+
+    Keep rule: a row survives iff it has NO cosine >= threshold
+    neighbor with a smaller id among the generated candidate pairs
+    ("smaller-id witness" — deterministic and order-free, so the result
+    is reproducible and SQL-oracle-checkable, unlike SemDeDup's
+    keep-closest-to-centroid which depends on the fitted centroids).
+    More aggressive than greedy-sequential dedup on chains (a dropped
+    row still witnesses its larger-id neighbors), which is the standard
+    conservative choice for corpus pruning.
+
+    One anti-join against the distinct dropped-id set: at scale the
+    pair table is tiny relative to the corpus (only near-dup edges),
+    so the anti-join broadcasts."""
+    pairs = semantic_dedup_pairs(df, dim, threshold, strategy,
+                                 id_col=id_col, vec_col=vec_col, **kwargs)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

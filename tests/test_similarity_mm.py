@@ -187,3 +187,51 @@ def test_repetition_features(spark):
     assert abs(rows[2]["top_bigram_frac"] - 3 / 5) < 1e-9
     assert rows[3]["dup_line_frac"] == 0.0
     assert rows[4]["dup_line_frac"] == 0.0 and rows[4]["top_bigram_frac"] == 0.0
+
+
+def _planted_corpus(spark, n_clusters=5, per_cluster=40, n_dups=15, seed=7):
+    """Clustered vectors plus near-identical copies (cos > 0.999) of
+    the first n_dups vectors — the semantic-dedup regime."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, 32))
+    base = np.repeat(centers, per_cluster, axis=0) + rng.normal(
+        scale=0.15, size=(n_clusters * per_cluster, 32))
+    dups = base[:n_dups] + rng.normal(scale=1e-3, size=(n_dups, 32))
+    V = np.vstack([base, dups])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(V)]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), len(base)
+
+
+@pytest.mark.parametrize("strategy", ["lsh", "ivf"])
+def test_semantic_dedup_scale_strategies_full_recall(spark, strategy):
+    from feathr_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
+
+    df, n_base = _planted_corpus(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in semantic_dedup_pairs(
+        df, dim=32, threshold=0.999, strategy="exact",
+        id_col="vec_id", vec_col="v").collect()}
+    assert len(exact) >= 15  # every planted dup pairs with its source
+    got = {(r["id_a"], r["id_b"]) for r in semantic_dedup_pairs(
+        df, dim=32, threshold=0.999, strategy=strategy,
+        id_col="vec_id", vec_col="v", n_centroids=8, sample_size=1000).collect()}
+    # bucketed candidates are a subset of exact (same verify threshold)
+    assert got <= exact
+    # near-identical vectors co-bucket: full recall in the dedup regime
+    assert got == exact
+    kept = semantic_dedup(df, dim=32, threshold=0.999, strategy=strategy,
+                          id_col="vec_id", vec_col="v",
+                          n_centroids=8, sample_size=1000)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    dropped = {b for _, b in exact}
+    assert kept_ids == set(range(n_base + 15)) - dropped
+    # every planted copy (id >= n_base) was dropped, no original lost
+    assert all(d >= n_base for d in dropped)
+
+
+def test_semantic_dedup_unknown_strategy(spark):
+    from feathr_spark.operators.similarity import semantic_dedup_pairs
+
+    df, _ = _planted_corpus(spark, n_clusters=1, per_cluster=3, n_dups=1)
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(df, dim=32, strategy="bogus",
+                             id_col="vec_id", vec_col="v").collect()
