@@ -637,6 +637,27 @@ def q_word_counts(spark, sf_dir):
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus-wide word-bigram frequency table (normalized text),
+    min_count=3 — the n-gram statistic behind LM-filtering /
+    boilerplate mining. Map-side combine bounds the shuffle by
+    vocabulary, not corpus size."""
+    from feathr_spark.operators.text import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, min_count=3)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (top-10 by n_chars desc, doc_id tie) —
+    the domain-balance guard of corpus curation."""
+    from feathr_spark.operators.corpus import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", k=10, order_by=["n_chars"])
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_stream_hourly(spark, sf_dir):
     """Hourly per-user aggregates computed by Structured Streaming
     (availableNow over the events parquet, complete mode to a memory
@@ -1019,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_incremental": q_gen_incremental,
         "rollup_daily": q_rollup_daily,
         "word_counts": q_word_counts,
+        "ngram_counts": q_ngram_counts,
+        "domain_cap": q_domain_cap,
         "stream_hourly": q_stream_hourly,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1407,6 +1430,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents)
             WHERE w <> ''
             GROUP BY w
+        """,
+        "ngram_counts": r"""
+            WITH w AS (
+                SELECT list_filter(regexp_split_to_array(
+                    trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                        '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram
+                FROM w WHERE len(ws) >= 2
+            )
+            SELECT ngram, count(*) AS n FROM g GROUP BY ngram HAVING count(*) >= 3
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 10
         """,
         "stream_hourly": """
             SELECT user_id,

@@ -33,7 +33,7 @@ task.  Sampling and redaction are stateless row maps.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -308,3 +308,31 @@ def mixture_weights(
         share.alias("share"),
         (tshare / share).alias("weight"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 1000,
+    order_by: Sequence[str] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain/source cap: keep at most ``k`` rows per group, ranked
+    by the ``order_by`` SQL expressions (descending — put the best
+    first, e.g. a quality score) with ``id_col`` ascending as the
+    deterministic tiebreak. The standard corpus-curation guard against
+    a handful of domains dominating the mixture.
+
+    One shuffle on ``group_col``; rank + filter run inside the window
+    stage. A pathologically hot group (one domain = 10% of the corpus)
+    makes one straggler partition — for that regime pre-filter with a
+    cheap threshold (e.g. ``quality_score >= q``) to shrink the group
+    before ranking, or cap in two stages (cap per (group, shard) with
+    shard = hash(id) % s, then cap the union): both keep every
+    partition bounded."""
+    from pyspark.sql import Window
+
+    order_cols = [F.expr(e).desc() for e in order_by] + [F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (df.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k).drop("__rank"))

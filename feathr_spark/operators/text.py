@@ -203,3 +203,20 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     out = base.join(per, base[id_col] == per["__rid"], "left").drop("__rid")
     return out.withColumn("top_bigram_frac",
                           F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)))
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
+                 min_count: int = 1) -> DataFrame:
+    """Corpus-wide word n-gram frequency table: (ngram, n) over the
+    normalized text — the statistic behind n-gram LM filtering,
+    contamination screens, and boilerplate mining.
+
+    explode → groupBy(count): partial aggregation (map-side combine)
+    means each executor ships one row per distinct local n-gram, not
+    one per occurrence — at 100 TB the shuffle is bounded by vocabulary
+    x executors, not corpus size. ``min_count`` prunes the heavy-tailed
+    singleton mass AFTER aggregation (it cannot be pushed below the
+    groupBy, but the combine already did the heavy lifting)."""
+    grams = df.select(F.explode(shingles(text_col, n)).alias("ngram"))
+    out = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    return out.where(F.col("n") >= min_count) if min_count > 1 else out
