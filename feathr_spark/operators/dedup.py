@@ -142,16 +142,23 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
 
 def _band_buckets(df: DataFrame, sig_col: str, bands: int, rows: int,
                   id_col: str) -> DataFrame:
-    """Explode the signature into (band_id, band_hash) bucket keys."""
+    """Explode the signature into (band_id, band_hash) bucket keys.
+    Band hash = variadic xxhash64 over the band's signature slots plus
+    the band id — pure arithmetic (an earlier slice().cast("string")
+    form serialized every band to a string first; measured ~30% of the
+    banding stage)."""
     band = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_id"),
-                F.xxhash64(F.slice(F.col(sig_col), b * rows + 1, rows).cast("string"), b)
-                .alias("band_hash"),
-            ),
-        )
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.element_at(F.col(sig_col), b * rows + r + 1)
+                      for r in range(rows)],
+                    F.lit(b),
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])
     ).alias("band")
     return (
         df.where(F.col(sig_col).isNotNull())
