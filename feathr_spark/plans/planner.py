@@ -205,6 +205,21 @@ def join_features(
             lv = _effective_lateral(a, f)
             swa_by_source.setdefault((_source_key(a), lv), []).append((a, f))
     stages = sorted(swa_by_source.values(), key=len)
+    # Observation time range computed ONCE on the pre-stage observation
+    # and passed to every SWA stage: stage N's input embeds stages
+    # 1..N-1's work, so letting each stage's _time_prefilter run its own
+    # min/max action would re-execute the whole upstream DAG per stage —
+    # a driver-action-per-stage scale hazard. Obs timestamps never
+    # change as feature columns append, so one range serves all stages.
+    obs_range = None
+    if stages:
+        from feathr_spark.functions.timestamps import to_epoch_micros
+
+        rng = out.select(
+            to_epoch_micros(F.expr(obs_ts_col), obs_ts_format).alias("__t")
+        ).agg(F.min("__t").alias("lo"), F.max("__t").alias("hi")).first()
+        if rng is not None and rng["lo"] is not None:
+            obs_range = (int(rng["lo"]), int(rng["hi"]))
     for grp in stages:
         a0 = grp[0][0]
         lv0 = _effective_lateral(a0, grp[0][1])
@@ -223,6 +238,7 @@ def join_features(
             features=feats,
             obs_ts_format=obs_ts_format,
             fact_ts_format=a0.source.timestamp_format,
+            obs_time_range=obs_range,
         )
         out = _stage_done(out)
 

@@ -328,3 +328,42 @@ def test_custom_anchor_extractor(spark):
     out = join_features(spark, obs, ObservationSettings(keys=["k"], timestamp_col="ts"),
                         anchors, source_cache={"mem": fact}).first()
     assert out["s2"] == 10.0 and out["latest_v2"] == 10.0
+
+
+def test_planner_single_time_range_action(spark, frames, monkeypatch):
+    """Multi-stage plans compute the observation time range ONCE in the
+    planner and hand it to every SWA stage — no per-stage min/max action
+    re-executing the upstream DAG (each stage's obs input embeds all
+    prior stages' work)."""
+    import feathr_spark.plans.planner as planner_mod
+
+    obs, events, profile, _ = frames
+    seen_ranges = []
+    real = planner_mod.join_window_agg_features
+
+    def spy(*args, **kwargs):
+        seen_ranges.append(kwargs.get("obs_time_range"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(planner_mod, "join_window_agg_features", spy)
+    anchors = [
+        Anchor("ev", Source("mem://events", timestamp_col="ts"), ["uid"], [
+            SWAFeature("v_sum_1d", "SUM", "v", WindowSpec(86400)),
+        ]),
+        Anchor("ev2", Source("mem://events2", timestamp_col="ts"), ["uid"], [
+            SWAFeature("v_max_2d", "MAX", "v", WindowSpec(2 * 86400)),
+        ]),
+    ]
+    out = join_features(
+        spark, obs, ObservationSettings(["uid"], "ts"), anchors,
+        source_cache={"mem://events": events, "mem://events2": events},
+    ).collect()
+    # two SWA stages, both fed the SAME precomputed range
+    assert len(seen_ranges) == 2
+    assert all(r is not None for r in seen_ranges)
+    assert seen_ranges[0] == seen_ranges[1]
+    lo, hi = seen_ranges[0]
+    assert lo == (T0 + 7200) * 1_000_000 and hi == (T0 + 7200) * 1_000_000
+    got = {(r["obs_id"]): (r["v_sum_1d"], r["v_max_2d"]) for r in out}
+    assert got[1] == (12.0, 7.0) and got[2] == (11.0, 11.0)
+    assert got[3] == (None, None)
