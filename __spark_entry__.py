@@ -200,6 +200,21 @@ def q_asof_purchase(spark, sf_dir):
     return out.select("event_id", F.round("last_purchase_value", 4).alias("last_purchase_value"))
 
 
+def q_asof_prune(spark, sf_dir):
+    """Two-phase as-of (slim match + pruned payload fetch) — the wide-
+    payload / 100 TB strategy; must equal the union-strategy oracle."""
+    from feathr_spark import asof_join
+
+    ev, obs = _events_obs(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'")
+    out = asof_join(obs, purchases, ["user_id"], ["user_id"], "ts", "ts",
+                    ["value as last_purchase_value", "event_type as last_kind"],
+                    obs_ts_format="timestamp", fact_ts_format="timestamp",
+                    strategy="prune")
+    return out.select("event_id", F.round("last_purchase_value", 4).alias("last_purchase_value"),
+                      "last_kind")
+
+
 def q_lag_lead(spark, sf_dir):
     from feathr_spark.operators.windows import with_lag_lead
 
@@ -1009,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_delay": q_swa_delay,
         "swa_grouped_topk": q_swa_grouped_topk,
         "asof_purchase": q_asof_purchase,
+        "asof_prune": q_asof_prune,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -1153,6 +1169,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_purchase": """
             SELECT o.event_id, round(f.value, 4) AS last_purchase_value
+            FROM events o ASOF LEFT JOIN (
+                SELECT * FROM events WHERE event_type = 'purchase'
+            ) f ON o.user_id = f.user_id AND f.ts <= o.ts
+        """,
+        "asof_prune": """
+            SELECT o.event_id, round(f.value, 4) AS last_purchase_value,
+                   f.event_type AS last_kind
             FROM events o ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'purchase'
             ) f ON o.user_id = f.user_id AND f.ts <= o.ts

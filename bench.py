@@ -66,7 +66,10 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
     from feathr_spark.datagen import corpus
 
     fact, obs = corpus(spark, sf=sf)
-    fact = fact.cache()
+    # entity-hash-partitioned corpus cache (the north star's Iceberg
+    # input layout): downstream (key, ts) joins reuse this partitioning,
+    # so the token payload crosses zero exchanges in the as-of fetch
+    fact = fact.repartition(128, "doc_id").cache()
     obs = obs.cache()
     n_obs = obs.count()
     fact.count()
@@ -90,14 +93,14 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
             hot_key_threshold=max(2000, n_obs // 50), salt_buckets=16,
             prefilter_time_range=False,
         )
-        # union asof, UNsalted: token payload stays JVM-side; the hot-key
-        # sort partition is trivial for Tungsten while salting would
-        # replicate the hot keys' token arrays x buckets (measured 2.1x
-        # slower salted)
+        # prune asof: slim (key, ts) match, then hash-join fetch of only
+        # the matched payload rows — the token arrays never enter a sort
+        # and, with the entity-partitioned fact cache, never cross an
+        # exchange (union strategy shuffled+sorted the full payload)
         out = asof_join(
             vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
             ["tokens as last_tokens", "n_tok as last_n_tok"],
-            obs_ts_format="epoch", fact_ts_format="epoch", strategy="union",
+            obs_ts_format="epoch", fact_ts_format="epoch", strategy="prune",
         )
         _force(out)
 

@@ -45,6 +45,14 @@ from feathr_spark.operators.swa import (
 MICROS = 1_000_000
 
 
+def _tiebreak(vcols):
+    """Deterministic order among fact rows sharing (key, ts): hash of the
+    payload. Exact byte-duplicates still collapse to one identical row."""
+    if not vcols:
+        return F.lit(0).cast("long")
+    return F.xxhash64(F.struct(*[F.col(v) for v in vcols]))
+
+
 def asof_join(
     obs: DataFrame,
     fact: DataFrame,
@@ -120,6 +128,13 @@ def asof_join(
                                         hot_key_threshold, salt_buckets)
         joined = _asof_union(obs_main, fact_proj, n_keys, vcols, delay_us, tol_us,
                              salted=salted)
+    elif strategy == "prune":
+        if hot_key_threshold:
+            # slim phase sorts ~24B rows; a hot key's slim partition is
+            # cheap, and salting would replicate payload in the fetch
+            raise ValueError("prune strategy handles hot keys without salting; "
+                             "drop hot_key_threshold")
+        joined = _asof_prune(obs_main, fact_proj, n_keys, vcols, delay_us, tol_us)
     elif strategy == "cogroup":
         joined = _asof_cogroup(obs_main, fact_proj, n_keys, vcols, vtypes,
                                obs.schema, out_names, delay_us, tol_us,
@@ -128,20 +143,25 @@ def asof_join(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    if strategy == "union":
+    if strategy in ("union", "prune"):
         for vcol, name in zip(vcols, out_names):
             joined = joined.withColumnRenamed(vcol, name)
         joined = joined.drop(*[c for c in joined.columns if c.startswith("__")])
     return joined
 
 
-def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False):
+def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False,
+                emit_match_ts=False):
     """Pure-JVM as-of: union + running-last window. With ``salted=True``
     the window partitions on (key, salt) as well — hot-key fact rows were
     replicated into every salt bucket by swa._salt, so each observation
     still sees its key's full history while the hot key's sort fans out
     across salt_buckets partitions. Keeps wide payload columns entirely
-    JVM-side (no Arrow round-trip), unlike the cogroup path."""
+    JVM-side (no Arrow round-trip), unlike the cogroup path.
+
+    ``emit_match_ts=True`` additionally emits ``__match_ts`` (the matched
+    fact row's timestamp, null when unmatched / out of tolerance) — the
+    handle the ``prune`` strategy uses to fetch payload afterwards."""
     kcols = _key_cols(n_keys)
     if salted:
         kcols = kcols + ["__salt"]
@@ -149,6 +169,10 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False):
         .withColumn("__ts_eff", F.col("__ts") - F.lit(delay_us))
     fact_u = fact_proj.withColumn("__is_obs", F.lit(0)) \
         .withColumn("__ts_eff", F.col("__ts")).withColumn("__fact_ts", F.col("__ts"))
+    # deterministic tie-break among exact-ts fact duplicates: the
+    # max-payload-hash row wins (same rule as the prune strategy's
+    # max_by collapse — strategies agree bit-for-bit, retries too)
+    fact_u = fact_u.withColumn("__tb", _tiebreak(vcols))
     u = obs_u.unionByName(fact_u, allowMissingColumns=True)
     # pin the window-stage task count (see swa._swa_union: AQE coalesces
     # the window exchange into coarse waves otherwise)
@@ -164,7 +188,7 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False):
     # -> a fact row exactly at obs_ts - delay is visible (right-inclusive)
     w = (
         Window.partitionBy(*kcols, "__nk")
-        .orderBy(F.col("__ts_eff"), F.col("__is_obs"))
+        .orderBy(F.col("__ts_eff"), F.col("__is_obs"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = u.withColumn("__row", F.last("__row", ignorenulls=True).over(w))
@@ -174,7 +198,79 @@ def _asof_union(obs, fact_proj, n_keys, vcols, delay_us, tol_us, salted=False):
         matched = matched & (F.col("__row.__fact_ts") > (F.col("__ts_eff") - F.lit(tol_us)))
     for vcol in vcols:
         out = out.withColumn(vcol, F.when(matched, F.col(f"__row.{vcol}")))
+    if emit_match_ts:
+        out = out.withColumn("__match_ts", F.when(matched, F.col("__row.__fact_ts")))
     return out
+
+
+def _asof_prune(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
+    """Two-phase as-of for WIDE fact payloads (the 100 TB shape).
+
+    The union strategy shuffles + sorts the full fact payload and
+    materializes it once more inside the window — with ~KB payload rows
+    (e.g. token arrays) that is ~3 passes of memory traffic over data
+    that mostly never reaches the output. Here the payload never enters
+    a sort:
+
+    1. **Slim match**: union as-of over (keys, ts) ONLY — resolves each
+       observation's matched fact timestamp (``__match_ts``). The sort
+       carries a few dozen bytes per fact row. The result is persisted
+       (MEMORY_AND_DISK): it is referenced twice below, and when ``obs``
+       is itself a computed pipeline (the planner's multi-stage output)
+       an unpersisted branch would re-execute that whole upstream DAG —
+       measured as a 2x job on the flagship. Obs-scale narrow data;
+       eviction just recomputes (resumable, unlike a localCheckpoint).
+    2. **Pruned fetch**: left-semi the fact payload by the DISTINCT
+       matched ``(key, ts)`` pairs, collapse exact-ts ties on the
+       matched subset only, then hash-join (``SHUFFLE_HASH`` — no sort)
+       back to the slim result. The semi join, the dedup, and the fact
+       side of the final join all hash-partition on the same key set,
+       so the payload crosses exactly ONE exchange; Spark's runtime
+       bloom filter (on in session.py) can push the pair filter below
+       even that.
+
+    Exact-duplicate ``(key, ts)`` fact rows: one arbitrary row wins —
+    the same tie class the sort path resolves by partition order (both
+    nondeterministic under retry among bytewise-distinct ties).
+
+    On a cluster where fact is stored bucketed by key
+    (sources/bucketed.py) the final join elides its fact-side exchange
+    entirely — the storage-partitioned layout is the end state for
+    repeated 100 TB joins.
+    """
+    from pyspark import StorageLevel
+
+    kcols = _key_cols(n_keys)
+    fact_slim = fact_proj.select(*kcols, "__ts", "__nk")
+    slim = _asof_union(obs, fact_slim, n_keys, [], delay_us, tol_us,
+                       emit_match_ts=True).drop("__row")
+    slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (slim.where(F.col("__match_ts").isNotNull())
+             .select(*kcols, F.col("__match_ts").alias("__ts"))
+             .dropDuplicates())
+    # pairs is the small (hash-build) side; SHUFFLE_HASH avoids sorting
+    # the fact payload in place. With fact stored/cached hash-partitioned
+    # by key (the entity-partitioned corpus layout) and
+    # requireAllClusterKeysForCoPartition=false (session.py), the fact
+    # side of this semi join AND of the final join reuse that
+    # partitioning — the payload crosses ZERO exchanges.
+    fact_m = fact_proj.join(pairs.hint("SHUFFLE_HASH"),
+                            on=kcols + ["__ts"], how="left_semi")
+    # one payload row per (key, ts): exact-ts ties collapse here, on the
+    # matched subset only, reusing the semi join's partitioning; max_by
+    # payload-hash = the same deterministic winner the union sort picks
+    if vcols:
+        fact_u = (fact_m.groupBy(*kcols, "__ts")
+                  .agg(F.max_by(F.struct(*[F.col(v) for v in vcols]),
+                                _tiebreak(vcols)).alias("__payload")))
+        right = fact_u.select(
+            *kcols, F.col("__ts").alias("__match_ts"),
+            *[F.col(f"__payload.{v}").alias(v) for v in vcols])
+    else:
+        right = fact_m.dropDuplicates(kcols + ["__ts"]).select(
+            *kcols, F.col("__ts").alias("__match_ts"))
+    return slim.hint("SHUFFLE_HASH").join(
+        right, on=kcols + ["__match_ts"], how="left")
 
 
 def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,

@@ -72,6 +72,26 @@ def _sweep_stale(d: str, max_age_s: int = 7200) -> None:
         pass
 
 
+def _jvm_opts() -> str:
+    """Executor/driver JVM options.
+
+    ``FEATHR_SPARK_PRETOUCH=1`` (the bench harnesses set it) adds
+    ``-Xms<max> -XX:+AlwaysPreTouch``: commit and fault the whole heap at
+    JVM start so steady-state iterations never re-fault heap pages. In
+    this sandbox (a Firecracker guest) first-touching a page costs
+    ~0.8 s/GB serialized through the host's fault handler, and G1
+    uncommits idle regions between jobs — without pre-touch that toll
+    recurs mid-benchmark as a serial, core-count-independent stall (the
+    "sys storm"). On a real cluster the same flags are the standard
+    recommendation for latency-stable executors. Off by default: tests
+    and ad-hoc sessions should not pay ~40 s of startup pre-faulting.
+    """
+    if os.environ.get("FEATHR_SPARK_PRETOUCH", "") not in ("", "0"):
+        heap = os.environ.get("FEATHR_SPARK_DRIVER_MEM", "48g")
+        return f"-Xms{heap} -XX:+AlwaysPreTouch"
+    return ""
+
+
 def get_spark(
     cpus: int | None = None,
     app_name: str = "feathr_spark",
@@ -117,11 +137,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # heap must leave room for tmpfs shuffle files (same physical RAM)
         .config("spark.driver.memory", os.environ.get("FEATHR_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", _jvm_opts())
         .config("spark.ui.enabled", "false")
         # runtime bloom-filter join: Spark-native replacement for the
         # reference's explicit bloom-filter semi-join reduction
         # (offline/join/OptimizerUtils.scala:117-161)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # allow joins on (key, ts) to reuse an existing hash-partitioning
+        # on key alone (subset co-partitioning): a corpus stored
+        # entity-hash-partitioned then joins by (entity, ts) WITHOUT
+        # re-shuffling the wide payload — the prune as-of strategy's
+        # zero-payload-exchange plan depends on this
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

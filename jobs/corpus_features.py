@@ -76,14 +76,17 @@ def cmd_join(spark, args) -> dict:
         _feature_battery(), obs_ts_format=args.ts_format,
         fact_ts_format=args.ts_format, strategy="cogroup",
         hot_key_threshold=hot, salt_buckets=args.salt_buckets)
-    # union strategy unsalted: wide payload stays JVM-side; hot-key sort
-    # partitions are cheap for Tungsten, and salting would replicate the
-    # hot keys' payload across buckets
+    # prune strategy: slim (key, ts) match resolves each observation's
+    # matched timestamp, then a hash join fetches only the matched
+    # payload rows — the wide token arrays never enter a shuffle sort.
+    # When the corpus table is stored entity-hash-partitioned (bucketed
+    # Iceberg layout, sources/bucketed.py) the payload crosses zero
+    # exchanges end-to-end.
     out = asof_join(
         vec, fact, [args.key], [args.key], args.obs_ts, args.fact_ts,
         ["tokens as last_tokens", "n_tok as last_n_tok"],
         obs_ts_format=args.ts_format, fact_ts_format=args.ts_format,
-        strategy="union")
+        strategy="prune")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     wall = time.monotonic() - t0

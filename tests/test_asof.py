@@ -10,7 +10,7 @@ import pytest
 from feathr_spark.datagen import corpus
 from feathr_spark.operators.asof import asof_join
 
-STRATEGIES = ["union", "cogroup"]
+STRATEGIES = ["union", "cogroup", "prune"]
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
@@ -75,6 +75,24 @@ def test_asof_duckdb_oracle(spark, strategy):
     assert np.array_equal(a, b)
     assert (got["asof_source"].fillna("∅").to_numpy()
             == oracle["asof_source"].fillna("∅").to_numpy()).all()
+
+
+def test_asof_prune_union_exact_parity(spark):
+    """prune (two-phase slim-match + pruned payload fetch) must equal the
+    union strategy bit-for-bit — including on exact-timestamp duplicate
+    fact rows, where both pick the max-payload-hash row."""
+    fact, obs = corpus(spark, sf=0.002)
+    # inject exact-ts ties with differing payloads on a hot key
+    dup = fact.limit(40).selectExpr(
+        "doc_id", "event_ts", "tokens", "n_tok + 7 as n_tok", "'tie' as source")
+    fact = fact.unionByName(dup.select(*fact.columns))
+    kw = dict(obs_ts_format="epoch", fact_ts_format="epoch")
+    args = (obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+            ["n_tok as a_n_tok", "source as a_src"])
+    base = asof_join(*args, strategy="union", **kw)
+    pruned = asof_join(*args, strategy="prune", **kw)
+    assert base.exceptAll(pruned).count() == 0
+    assert pruned.exceptAll(base).count() == 0
 
 
 def test_asof_salted_cogroup_parity(spark):

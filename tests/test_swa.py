@@ -231,6 +231,33 @@ def test_salted_cogroup_matches_unsalted(spark):
                            salted[c].astype(float).fillna(-1), rtol=1e-9), c
 
 
+def test_time_slice_salt_matches_replicate(spark):
+    """Time-sliced salting (hot key chunked by window width, <=2 fact
+    copies) must equal full replication AND the unsalted run — including
+    per-feature delays, which widen the visibility span."""
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [
+        SWAFeature("s1", "SUM", "n_tok", WindowSpec(86400)),
+        SWAFeature("s7", "SUM", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("cd", "COUNT_DISTINCT", "source", WindowSpec(7 * 86400)),
+        SWAFeature("dl", "SUM", "n_tok", WindowSpec(2 * 86400, delay=86400)),
+    ]
+    kwargs = dict(obs_keys=["doc_id"], fact_keys=["doc_id"], obs_ts="ts",
+                  fact_ts="event_ts", features=feats, strategy="cogroup")
+    plain = join_window_agg_features(obs, fact, **kwargs).orderBy("obs_id").toPandas()
+    sliced = join_window_agg_features(obs, fact, hot_key_threshold=50, salt_buckets=4,
+                                      salt_mode="time_slice", **kwargs) \
+        .orderBy("obs_id").toPandas()
+    repl = join_window_agg_features(obs, fact, hot_key_threshold=50, salt_buckets=4,
+                                    salt_mode="replicate", **kwargs) \
+        .orderBy("obs_id").toPandas()
+    for c in ("s1", "s7", "cd", "dl"):
+        assert np.allclose(plain[c].astype(float).fillna(-1),
+                           sliced[c].astype(float).fillna(-1), rtol=1e-9), c
+        assert np.allclose(plain[c].astype(float).fillna(-1),
+                           repl[c].astype(float).fillna(-1), rtol=1e-9), c
+
+
 def test_defaults_and_simulate_delay(toy):
     obs, fact = toy
     feats = [SWAFeature("v_sum", "SUM", "v", WindowSpec(100), default=0.0)]
