@@ -45,3 +45,8 @@ for sid, s in rows:
     print(f"s{sid:>3} t+{(s['sub']-t0)/1000:7.1f} wall={s['wall']:6.2f} tasks={s['tasks']:>4} "
           f"tsum={s.get('tsum',0):7.1f} tmax={s.get('tmax',0):5.1f} "
           f"r={s.get('rmb',0):6.0f}MB w={s.get('wmb',0):6.0f}MB  {s['name']}")
+
+# --- timeline gap analysis (appended): when run with GAPS=1, also print
+# per-job wall vs sum-of-stage-walls — the difference is driver-serial
+# time (planning, AQE re-optimization, py4j) that no executor parallelism
+# can shrink.
