@@ -8,7 +8,7 @@ try:
 except ImportError:
     dec = None
 import io, subprocess
-paths = glob.glob(sys.argv[1] + "/*/events*")
+paths = glob.glob(sys.argv[1] + "/*/events*") + glob.glob(sys.argv[1] + "/*/*/events*")
 path = sorted(paths, key=os.path.getmtime)[-1]
 if path.endswith(".zstd"):
     if dec:

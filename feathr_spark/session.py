@@ -112,6 +112,12 @@ def get_spark(
     """
     explicit_cpus = cpus is not None
     cpus = cpus or DEFAULT_CPUS
+    # FEATHR_SPARK_MASTER overrides everything: the scaling harness uses
+    # it to run the identical job under local-cluster[N,c,mem] — real
+    # separate executor JVMs, the closest single-box stand-in for the
+    # north rule's "N -> 4N executors" criterion (per-executor heap, GC,
+    # and Python-worker pool stay constant; only executor count varies).
+    master_env = os.environ.get("FEATHR_SPARK_MASTER")
     # Shuffle partitions are sized to the DATA (4x the max core count),
     # NOT to this session's core count: on a real cluster the partition
     # count stays fixed while executors are added (the N -> 4N scaling
@@ -123,7 +129,16 @@ def get_spark(
         SparkConf().contains("spark.master") or bool(os.environ.get("SPARK_MASTER"))
     )
     builder = SparkSession.builder.appName(app_name)
-    if explicit_cpus or not preconfigured_master:
+    if master_env:
+        builder = builder.master(master_env)
+        exec_mem = os.environ.get("FEATHR_SPARK_EXECUTOR_MEM")
+        if exec_mem:
+            builder = builder.config("spark.executor.memory", exec_mem)
+            if os.environ.get("FEATHR_SPARK_PRETOUCH", "") not in ("", "0"):
+                builder = builder.config(
+                    "spark.executor.extraJavaOptions",
+                    f"-Xms{exec_mem} -XX:+AlwaysPreTouch")
+    elif explicit_cpus or not preconfigured_master:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder
