@@ -942,6 +942,31 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_v, k=3, n_centroids=16, n_probe=8)
 
 
+def q_ann_lsh_det(spark, sf_dir):
+    """Deterministic multi-probe LSH ANN (integer-exact signatures):
+    same plan shape as ann_lsh, but the hyperplane grid is plain integer
+    arithmetic and the query vectors are corpus rows, so the DuckDB
+    oracle reproduces bucketing, probing, scoring, and top-k exactly."""
+    from feathr_spark.operators.similarity import ann_topk_det
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_det(emb, query_ids=[0, 1, 2, 3], dim=64, k=3,
+                        n_bits=8, n_probe_bits=2)
+
+
+def q_ann_ivf_det(spark, sf_dir):
+    """Deterministic IVF ANN: coarse cells = embeddings of vec_ids
+    0,7,...,98 (15 deterministic centroids), n_probe=4 — every step
+    (assignment argmax, probe ranking, scoring, top-k) is a pure
+    function of the table, reproduced by the DuckDB oracle."""
+    from feathr_spark.operators.similarity import ivf_topk_det
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = list(range(0, 105, 7))  # 15 centroids
+    return ivf_topk_det(emb, query_ids=[10, 20, 30], centroid_ids=cents,
+                        k=3, n_probe=4)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: per-doc count of word 3-grams shared
     with a held-out benchmark split (doc_id % 37 == 0) — the GPT-3
@@ -1064,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_det": q_ann_lsh_det,
+        "ann_ivf_det": q_ann_ivf_det,
         "rollup_distinct_daily": q_rollup_distinct_daily,
         "swa_lateral": q_swa_lateral,
         "feature_stats": q_feature_stats,
@@ -1385,6 +1412,84 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, vec_id, round(score, 5) AS score FROM r WHERE rn <= 3
+        """,
+        "ann_lsh_det": """
+            WITH qv AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+                       embedding::DOUBLE[] AS v
+                FROM embeddings
+            ), dots AS (
+                SELECT vec_id, b.b AS b,
+                       list_sum(list_transform(range(1, 65),
+                           d -> q[d] * (((b.b * 1000003 + (d - 1) * 7919) % 1999) - 999))) AS dot
+                FROM qv, range(8) b(b)
+            ), sig AS (
+                SELECT vec_id,
+                       SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS sig
+                FROM dots GROUP BY vec_id
+            ), sv AS (
+                SELECT s.vec_id, s.sig, q.v FROM sig s JOIN qv q USING (vec_id)
+            ), cand AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+                FROM sv q JOIN sv c
+                  ON bit_count(xor(q.sig, c.sig)) <= 2 AND c.vec_id <> q.vec_id
+                WHERE q.vec_id < 4
+            ), r AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rn
+                FROM cand
+            )
+            SELECT query_id, vec_id, score FROM r WHERE rn <= 3
+        """,
+        "ann_ivf_det": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+                FROM e WHERE vec_id % 7 = 0 AND vec_id < 105
+            ), cos AS (
+                SELECT e.vec_id, c.cell,
+                       list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+                FROM e CROSS JOIN cents c
+            ), assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cs DESC, cell) AS rn
+                    FROM cos) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cs DESC, cell) AS rn
+                    FROM cos WHERE vec_id IN (10, 20, 30)) WHERE rn <= 4
+            ), cand AS (
+                SELECT p.query_id, a.vec_id
+                FROM probes p JOIN assign a USING (cell)
+                WHERE a.vec_id <> p.query_id
+            ), scored AS (
+                SELECT cand.query_id, cand.vec_id,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+                FROM cand
+                JOIN e q ON q.vec_id = cand.query_id
+                JOIN e c ON c.vec_id = cand.vec_id
+            ), r AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, vec_id, score FROM r WHERE rn <= 3
         """,
         "swa_sim_delay": """
             SELECT o.event_id, round(sum(f.value), 4) AS sum_1d_sim1h

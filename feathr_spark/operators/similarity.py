@@ -205,6 +205,176 @@ def ann_topk_lsh(
     )
 
 
+def _det_weight(b: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-999, 999].
+
+    Plain integer arithmetic (no RNG, no hash function) so ANY engine —
+    Spark, DuckDB, plain SQL — reproduces the identical hyperplane grid.
+    """
+    return ((b * 1000003 + d * 7919) % 1999) - 999
+
+
+def det_signature(vec_col, dim: int, n_bits: int = 8, scale: int = 1_000_000):
+    """Integer-exact LSH sign signature as a JVM Column (no UDF).
+
+    Each embedding value is quantized to ``round(x * scale)`` (a long),
+    then dotted with the integer hyperplane grid ``_det_weight(b, d)``;
+    bit b of the signature is ``dot >= 0``. All arithmetic is int64 and
+    therefore EXACT — the same signature is reproducible in any SQL
+    engine (the DuckDB oracle recomputes it), with no float32/float64
+    summation-order hazards. max |dot| <= scale * 999 * dim, so dims up
+    to ~10^6 are overflow-safe at the default scale.
+
+    This is the correctness-witness twin of :func:`_hyperplanes`
+    (seeded Gaussian): same bucketing geometry, exactly reproducible.
+    """
+    q = F.transform(vec_col, lambda x: F.round(x * F.lit(float(scale))).cast("long"))
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        w = F.array([F.lit(_det_weight(b, d)).cast("long") for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(q, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def ann_topk_det(
+    corpus: DataFrame,
+    query_ids: Sequence[int],
+    dim: int,
+    k: int = 3,
+    n_bits: int = 8,
+    n_probe_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic multi-probe LSH ANN — the oracle-checkable twin of
+    :func:`ann_topk_lsh`.
+
+    Same plan shape as the production path (signature column on the
+    corpus, driver-enumerated probe table broadcast into an equi-join,
+    exact cosine verify, per-query top-k window), but the signature is
+    the integer-exact :func:`det_signature` and the query vectors are
+    **rows of the corpus itself** (``query_ids``), so a SQL oracle can
+    reproduce every step bit-for-bit. Scores are rounded to ``round_dp``
+    decimals and ties break on ascending id, making the output fully
+    deterministic across engines.
+    """
+    sig_df = corpus.select(id_col, vec_col).withColumn(
+        "__sig", det_signature(F.col(vec_col), dim, n_bits))
+    q_df = sig_df.where(F.col(id_col).isin([int(i) for i in query_ids]))
+    q_rows = q_df.select(id_col, "__sig").collect()  # bounded: len(query_ids)
+
+    def probes(b: int) -> list[int]:
+        out = [b]
+        if n_probe_bits >= 1:
+            out += [b ^ (1 << i) for i in range(n_bits)]
+        if n_probe_bits >= 2:
+            out += [b ^ (1 << i) ^ (1 << j)
+                    for i in range(n_bits) for j in range(i + 1, n_bits)]
+        return out
+
+    spark = corpus.sparkSession
+    probe_rows = [(int(r[id_col]), int(p)) for r in q_rows
+                  for p in probes(int(r["__sig"]))]
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id long, __sig long").dropDuplicates()
+    qvec_df = q_df.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__qvec"))
+
+    cand = (sig_df.join(F.broadcast(probe_df), on="__sig")
+            .where(F.col(id_col) != F.col("query_id"))
+            .join(F.broadcast(qvec_df), on="query_id"))
+    # score in DOUBLE (cast before multiply): float32 products differ
+    # from a double-precision SQL oracle by ~1e-8, enough to flip a
+    # 6-dp rounding; double-vs-double differences are ~1e-16
+    score = F.round(cosine_sim(F.col("__qvec").cast("array<double>"),
+                               F.col(vec_col).cast("array<double>")), round_dp)
+    scored = cand.withColumn("score", score.cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (scored.select("query_id", id_col, "score")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    query_ids: Sequence[int],
+    centroid_ids: Sequence[int],
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic IVF ANN — the oracle-checkable twin of
+    :func:`ivf_topk`.
+
+    Coarse cells are the (normalized) embeddings of explicit corpus rows
+    (``centroid_ids``) instead of a sampled k-means fit, so the whole
+    pipeline — cell assignment (argmax cosine, lowest-cell tie-break),
+    per-query probe list (top ``n_probe`` cells), candidate scoring,
+    top-k — is a pure function of the table and reproducible in SQL.
+    Assignment and scoring are JVM ``zip_with``/``aggregate`` double
+    expressions (no UDF, no shuffle of the corpus; the probe table and
+    query vectors broadcast)."""
+    cids = [int(c) for c in centroid_ids]
+    cent_rows = (corpus.where(F.col(id_col).isin(cids))
+                 .select(id_col, vec_col).collect())  # bounded: len(cids)
+    cent_by_id = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+                  for r in cent_rows}
+    cents = []
+    for ci, cid in enumerate(sorted(cent_by_id)):
+        v = cent_by_id[cid]
+        cents.append((ci, v / max(float(np.linalg.norm(v)), 1e-12)))
+
+    def cos_to_cent(vec, cv: np.ndarray):
+        w = F.array([F.lit(float(x)) for x in cv])
+        return dot_product(vec, w) / l2_norm(vec)
+
+    def cell_of(vec):
+        arr = F.array([cos_to_cent(vec, cv) for _, cv in cents])
+        # array_position returns the FIRST (1-based) match of the max —
+        # the lowest-cell-id tie-break the oracle replicates
+        return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "__cell", cell_of(F.col(vec_col)))
+    q_df = assigned.where(F.col(id_col).isin([int(i) for i in query_ids]))
+    q_rows = q_df.select(id_col, vec_col).collect()  # bounded: len(query_ids)
+
+    spark = corpus.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        sims = [(float(qv @ cv), ci) for ci, cv in cents]
+        top = sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]
+        probe_rows += [(int(r[id_col]), ci) for _, ci in top]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, __cell int")
+    qvec_df = q_df.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__qvec"))
+
+    cand = (assigned.join(F.broadcast(probe_df), on="__cell")
+            .where(F.col(id_col) != F.col("query_id"))
+            .join(F.broadcast(qvec_df), on="query_id"))
+    score = F.round(cosine_sim(F.col("__qvec").cast("array<double>"),
+                               F.col(vec_col).cast("array<double>")), round_dp)
+    scored = cand.withColumn("score", score.cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (scored.select("query_id", id_col, "score")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
