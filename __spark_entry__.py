@@ -673,6 +673,25 @@ def q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level dedup (RefinedWeb/CCNet boilerplate removal): the
+    corpus docs are single-line, so the query deterministically builds
+    2-line documents — own text + the text of doc ``doc_id % 10`` as a
+    boilerplate second line shared by ~1/10 of the corpus — then drops
+    every line appearing in >= 5 distinct docs. Exercises drop, keep,
+    re-assembly order, and the all-lines-dropped empty-doc path."""
+    from feathr_spark.operators.corpus import drop_common_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = (docs.where(F.col("doc_id") < 10)
+              .select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")))
+    multi = (docs.withColumn("b_id", F.col("doc_id") % 10)
+             .join(F.broadcast(boiler), "b_id")
+             .select("doc_id", F.concat_ws("\n", "text", "b_text").alias("text")))
+    out = drop_common_lines(multi, min_docs=5)
+    return out.select("doc_id", "text_clean", "n_lines_kept")
+
+
 def q_stream_hourly(spark, sf_dir):
     """Hourly per-user aggregates computed by Structured Streaming
     (availableNow over the events parquet, complete mode to a memory
@@ -1083,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "ngram_counts": q_ngram_counts,
         "domain_cap": q_domain_cap,
+        "line_dedup": q_line_dedup,
         "stream_hourly": q_stream_hourly,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1579,6 +1599,30 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id ASC) AS rk
                 FROM documents
             ) WHERE rk <= 10
+        """,
+        "line_dedup": """
+            WITH boiler AS (
+                SELECT doc_id AS b_id, text AS b_text FROM documents WHERE doc_id < 10
+            ), multi AS (
+                SELECT d.doc_id, d.text || chr(10) || b.b_text AS text
+                FROM documents d JOIN boiler b ON d.doc_id % 10 = b.b_id
+            ), ex AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                FROM multi
+            ), common AS (
+                SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+            ), kept AS (
+                SELECT * FROM ex WHERE line NOT IN (SELECT line FROM common)
+            ), re AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                       count(*) AS n_lines_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT m.doc_id, coalesce(re.text_clean, '') AS text_clean,
+                   coalesce(re.n_lines_kept, 0) AS n_lines_kept
+            FROM multi m LEFT JOIN re ON m.doc_id = re.doc_id
         """,
         "stream_hourly": """
             SELECT user_id,

@@ -162,3 +162,40 @@ def test_mixture_weights_shares_sum_to_one(docs):
         0.6 / w["src0"]["share"], rel=1e-9)
     assert all(r["weight"] == 0.0 for r in out
                if r["source"] not in ("src0", "src1"))
+
+
+def test_drop_common_lines_strategies_agree(spark):
+    from feathr_spark.operators.corpus import drop_common_lines, line_doc_frequency
+
+    rows = [
+        (1, "unique one\nBOILER\nkeep me"),
+        (2, "BOILER\nanother line"),
+        (3, "BOILER"),                     # becomes empty
+        (4, "solo text\nBOILER"),
+        (5, "BOILER\nBOILER\nlast"),       # repeats within one doc count once
+        (6, "nothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    freq = {r["line"]: r["doc_freq"]
+            for r in line_doc_frequency(df, min_docs=2).collect()}
+    assert freq == {"BOILER": 5}
+
+    a = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+         for r in drop_common_lines(df, min_docs=5, strategy="join").collect()}
+    b = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+         for r in drop_common_lines(df, min_docs=5, strategy="broadcast_set").collect()}
+    assert a == b
+    assert a[1] == ("unique one\nkeep me", 2)   # order preserved
+    assert a[3] == ("", 0)                      # all-boilerplate doc
+    assert a[5] == ("last", 1)
+    assert a[6] == ("nothing shared here", 1)
+
+
+def test_drop_common_lines_cap_raises(spark):
+    from feathr_spark.operators.corpus import drop_common_lines
+
+    df = spark.createDataFrame(
+        [(i, "shared\nown%d" % i) for i in range(6)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_common_lines"):
+        drop_common_lines(df, min_docs=2, strategy="broadcast_set",
+                          max_common_lines=0)
