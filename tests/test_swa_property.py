@@ -115,3 +115,59 @@ def test_swa_matches_brute_force(spark, strategy, fact, obs, win):
             else:
                 assert v is not None and math.isclose(float(v), float(w),
                                                       rel_tol=1e-9), ctx
+
+
+# ---------------------------------------------------------------------------
+# as-of join property test (same generator, all three strategies)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_asof(obs, fact, delay, tolerance):
+    out = []
+    for i, (k, t) in enumerate(obs):
+        hi = t - delay
+        lo = hi - tolerance if tolerance is not None else None
+        rows = [] if k is None else [
+            (ts, v, c) for (fk, ts, v, c) in fact
+            if fk == k and ts <= hi and (lo is None or ts > lo)
+        ]
+        if not rows:
+            out.append(dict(obs_id=i, last_v=None, last_cat=None))
+        else:
+            ts, v, c = max(rows)  # unique (key, ts) => max ts row
+            out.append(dict(obs_id=i, last_v=float(v), last_cat=c))
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup", "prune"])
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fact=fact_rows, obs=obs_rows,
+       delay=st.integers(0, 4),
+       tolerance=st.one_of(st.none(), st.integers(1, 10)))
+def test_asof_matches_brute_force(spark, strategy, fact, obs, delay, tolerance):
+    from feathr_spark.operators.asof import asof_join
+
+    obs_df = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(obs)],
+        "obs_id long, k string, ts double")
+    fact_df = spark.createDataFrame(
+        [(k, float(ts), float(v), c) for (k, ts, v, c) in fact],
+        "k string, ts double, v double, cat string")
+    got = {r["obs_id"]: r for r in asof_join(
+        obs_df, fact_df, ["k"], ["k"], "ts", "ts",
+        ["v as last_v", "cat as last_cat"],
+        delay=float(delay),
+        tolerance=None if tolerance is None else float(tolerance),
+        strategy=strategy).collect()}
+    for want in brute_force_asof(obs, fact, delay, tolerance):
+        g = got[want["obs_id"]]
+        ctx = (f"obs {want['obs_id']} ({strategy}, delay={delay} "
+               f"tol={tolerance}): want {want} got "
+               f"({g['last_v']}, {g['last_cat']})\nobs={obs}\nfact={fact}")
+        if want["last_v"] is None:
+            assert g["last_v"] is None and g["last_cat"] is None, ctx
+        else:
+            assert g["last_v"] is not None and math.isclose(
+                float(g["last_v"]), want["last_v"], rel_tol=1e-9), ctx
+            assert g["last_cat"] == want["last_cat"], ctx
