@@ -721,6 +721,35 @@ def q_stream_hourly(spark, sf_dir):
         "user_id", F.unix_timestamp("window_start").alias("bucket_start"), "n", "v_sum")
 
 
+def q_stream_sliding(spark, sf_dir):
+    """SLIDING event-time windows (1h width / 15min slide) computed by
+    Structured Streaming with a watermark — each event lands in exactly
+    4 overlapping windows; the DuckDB oracle replays the window-start
+    enumeration arithmetically."""
+    import tempfile
+    import uuid
+
+    from feathr_spark.streaming import stream_window_agg
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events*") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = stream_window_agg(
+        stream, ["user_id"], "ts", "1 hour",
+        {"n": "count(value)", "v_sum": "round(sum(value), 4)"},
+        slide="15 minutes", watermark="1 minute",
+    )
+    name = "q_stream_sl_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="feathr_stream_"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", F.unix_timestamp("window_start").alias("bucket_start"), "n", "v_sum")
+
+
 def q_lang_id(spark, sf_dir):
     """N-gram/stopword-heuristic language ID over documents."""
     from feathr_spark.operators.text import detect_language
@@ -1104,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
         "stream_hourly": q_stream_hourly,
+        "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "near_dup_embeddings": q_near_dup_embeddings,
@@ -1623,6 +1653,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, coalesce(re.text_clean, '') AS text_clean,
                    coalesce(re.n_lines_kept, 0) AS n_lines_kept
             FROM multi m LEFT JOIN re ON m.doc_id = re.doc_id
+        """,
+        "stream_sliding": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+                FROM events
+            ), w AS (
+                SELECT user_id, value, t,
+                       unnest(range((t // 900) - 3, (t // 900) + 1)) * 900 AS ws
+                FROM e
+            )
+            SELECT user_id, ws AS bucket_start,
+                   count(value) AS n, round(sum(value), 4) AS v_sum
+            FROM w WHERE t >= ws AND t < ws + 3600
+            GROUP BY 1, 2
         """,
         "stream_hourly": """
             SELECT user_id,
