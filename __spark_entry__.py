@@ -200,6 +200,27 @@ def q_asof_purchase(spark, sf_dir):
     return out.select("event_id", F.round("last_purchase_value", 4).alias("last_purchase_value"))
 
 
+def q_asof_tokens(spark, sf_dir):
+    """Token-array equality per row (the north star's per-row
+    invariant): as-of join fetches an array<bigint> token payload —
+    deterministically derived from event_id — and the oracle must match
+    it ELEMENT-FOR-ELEMENT (JSON-serialized so the harness can sort and
+    hash array values)."""
+    from feathr_spark import asof_join
+
+    ev, obs = _events_obs(spark, sf_dir)
+    fact = ev.where("event_type = 'purchase'").withColumn(
+        "tokens",
+        F.transform(F.sequence(F.lit(0), F.pmod(F.col("event_id"), F.lit(5))),
+                    lambda i: F.pmod(F.col("event_id") * 7 + i, F.lit(997))))
+    out = asof_join(obs, fact, ["user_id"], ["user_id"], "ts", "ts",
+                    ["tokens as last_tokens"],
+                    obs_ts_format="timestamp", fact_ts_format="timestamp")
+    return out.select(
+        "event_id",
+        F.coalesce(F.to_json("last_tokens"), F.lit("[]")).alias("last_tokens_json"))
+
+
 def q_asof_prune(spark, sf_dir):
     """Two-phase as-of (slim match + pruned payload fetch) — the wide-
     payload / 100 TB strategy; must equal the union-strategy oracle."""
@@ -1097,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_delay": q_swa_delay,
         "swa_grouped_topk": q_swa_grouped_topk,
         "asof_purchase": q_asof_purchase,
+        "asof_tokens": q_asof_tokens,
         "asof_prune": q_asof_prune,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
@@ -1248,6 +1270,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.event_id, round(f.value, 4) AS last_purchase_value
             FROM events o ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'purchase'
+            ) f ON o.user_id = f.user_id AND f.ts <= o.ts
+        """,
+        "asof_tokens": """
+            SELECT o.event_id,
+                   coalesce(to_json(f.tokens), '[]') AS last_tokens_json
+            FROM events o ASOF LEFT JOIN (
+                SELECT *, list_transform(range(0, (event_id % 5) + 1),
+                                         i -> (event_id * 7 + i) % 997) AS tokens
+                FROM events WHERE event_type = 'purchase'
             ) f ON o.user_id = f.user_id AND f.ts <= o.ts
         """,
         "asof_prune": """
