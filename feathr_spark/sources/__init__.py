@@ -3,3 +3,13 @@
 from feathr_spark.sources.batch import load_source, read_batch  # noqa: F401
 from feathr_spark.sources.sinks import write_partitioned, write_sink  # noqa: F401
 from feathr_spark.sources.time_partitioned import read_time_partitioned  # noqa: F401
+from feathr_spark.sources.external import (  # noqa: F401
+    JdbcConfig,
+    SnowflakeConfig,
+    jdbc_options,
+    read_jdbc,
+    read_snowflake,
+    snowflake_config_from_url,
+    snowflake_options,
+)
+from feathr_spark.sources.online import redis_write_spec, write_online  # noqa: F401
