@@ -13,3 +13,10 @@ from feathr_spark.sources.external import (  # noqa: F401
     snowflake_options,
 )
 from feathr_spark.sources.online import redis_write_spec, write_online  # noqa: F401
+from feathr_spark.sources.iceberg import (  # noqa: F401
+    corpus_table_ddl,
+    iceberg_catalog_conf,
+    incremental_read_options,
+    read_iceberg,
+    snapshot_read_options,
+)

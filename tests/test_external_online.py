@@ -159,3 +159,36 @@ def test_write_online_roundtrip(spark, tmp_path):
     # null-key row dropped; null feature omitted from the hash
     assert got == {"ft:u1": {"score": 1.25, "toks": [1, 2, 3]},
                    "ft:u2": {"toks": [4]}}
+
+
+# ---------------------------------------------------------------------------
+# Iceberg plumbing (jar-free)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_catalog_conf_and_ddl():
+    from feathr_spark.sources.iceberg import (
+        corpus_table_ddl,
+        iceberg_catalog_conf,
+        incremental_read_options,
+        snapshot_read_options,
+    )
+
+    conf = iceberg_catalog_conf("corpus", "s3://wh/corpus")
+    assert conf["spark.sql.catalog.corpus"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.corpus.warehouse"] == "s3://wh/corpus"
+    assert conf["spark.sql.sources.v2.bucketing.enabled"] == "true"
+
+    create, alter = corpus_table_ddl("corpus.db.fact")
+    assert "PARTITIONED BY (bucket(128, doc_id))" in create
+    assert "USING iceberg" in create and "tokens array<int>" in create
+    assert "'write.distribution-mode'='hash'" in create
+    assert alter == "ALTER TABLE corpus.db.fact WRITE ORDERED BY (doc_id, event_ts)"
+
+    assert snapshot_read_options(snapshot_id=42) == {"snapshot-id": "42"}
+    assert snapshot_read_options(as_of_timestamp_ms=1700000000000) == \
+        {"as-of-timestamp": "1700000000000"}
+    with pytest.raises(ValueError):
+        snapshot_read_options()
+    assert incremental_read_options(10, 20) == \
+        {"start-snapshot-id": "10", "end-snapshot-id": "20"}
