@@ -371,13 +371,22 @@ def line_doc_frequency(
     """
     ex = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias("line"),
+        F.explode(_split_literal(text_col, delimiter)).alias("line"),
     )
     return (
         ex.groupBy("line")
         .agg(F.countDistinct(id_col).alias("doc_freq"))
         .where(F.col("doc_freq") >= min_docs)
     )
+
+
+def _split_literal(text_col: str, delimiter: str):
+    """``F.split`` treats its pattern as a Java regex; the delimiter here
+    is a LITERAL string (re-assembly uses it literally too), so escape it
+    — ``re.escape`` output is valid Java regex for any literal."""
+    import re
+
+    return F.split(F.col(text_col), F.lit(re.escape(delimiter)), -1)
 
 
 def drop_common_lines(
@@ -422,11 +431,15 @@ def drop_common_lines(
     if strategy == "join":
         ex = df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1))
+            F.posexplode(_split_literal(text_col, delimiter))
             .alias("__pos", "__line"),
         )
+        # no broadcast hint: boilerplate-line tables are usually tiny and
+        # AQE converts the anti-join to broadcast at runtime when so, but
+        # a low min_docs on a web corpus can cross the threshold and a
+        # forced broadcast would OOM — let the planner size it
         kept = ex.join(
-            F.broadcast(common.select(F.col("line").alias("__line"))),
+            common.select(F.col("line").alias("__line")),
             "__line", "left_anti")
         re = kept.groupBy(id_col).agg(
             F.array_join(
@@ -461,6 +474,10 @@ def drop_common_lines(
             drop = bc.value
             cleaned, kept = [], []
             for t in s:
+                if t is None:  # match the join strategy: null text -> ("", 0)
+                    cleaned.append("")
+                    kept.append(0)
+                    continue
                 ls = [l for l in t.split(delimiter) if l not in drop]
                 cleaned.append(delimiter.join(ls))
                 kept.append(len(ls))

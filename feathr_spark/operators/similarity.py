@@ -166,6 +166,10 @@ def ann_topk_lsh(
     qbits = (qn @ H.T) > 0
     qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
 
+    if n_probe_bits > 2:
+        raise ValueError("n_probe_bits > 2 not implemented (probe count "
+                         "grows as C(n_bits, k); use more bands instead)")
+
     # multi-probe: all buckets within hamming distance n_probe_bits
     def probes(b: int) -> list[int]:
         out = [b]
@@ -269,6 +273,10 @@ def ann_topk_det(
     q_df = sig_df.where(F.col(id_col).isin([int(i) for i in query_ids]))
     q_rows = q_df.select(id_col, "__sig").collect()  # bounded: len(query_ids)
 
+    if n_probe_bits > 2:
+        raise ValueError("n_probe_bits > 2 not implemented (probe count "
+                         "grows as C(n_bits, k); use more bands instead)")
+
     def probes(b: int) -> list[int]:
         out = [b]
         if n_probe_bits >= 1:
@@ -341,7 +349,11 @@ def ivf_topk_det(
     def cell_of(vec):
         arr = F.array([cos_to_cent(vec, cv) for _, cv in cents])
         # array_position returns the FIRST (1-based) match of the max —
-        # the lowest-cell-id tie-break the oracle replicates
+        # the lowest-cell-id tie-break the oracle replicates. EXACT float
+        # ties (duplicated centroid rows) resolve identically in both
+        # engines; only an ulp-level near-tie between two centroid
+        # cosines (different summation orders, ~1e-16) could diverge —
+        # vanishing for non-degenerate embeddings, accepted here.
         return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
     assigned = corpus.select(id_col, vec_col).withColumn(

@@ -86,15 +86,27 @@ def jdbc_options(cfg: JdbcConfig) -> dict:
     return opts
 
 
+def _is_missing_class(e: Exception) -> bool:
+    """Only a ClassNotFound-shaped failure earns the 'missing jar' hint;
+    anything else (bad SQL, auth, missing table) re-raises untouched."""
+    msg = str(e)
+    return "ClassNotFound" in msg or "Failed to find data source" in msg \
+        or "NoClassDefFoundError" in msg
+
+
 def read_jdbc(spark: SparkSession, cfg: JdbcConfig) -> DataFrame:
     """Load a JDBC source. Raises a clear error when the driver jar is
     absent (add ``--jars <driver>.jar`` at submit time)."""
+    opts = jdbc_options(cfg)  # config errors surface as-is, outside the try
     try:
-        return spark.read.format(JDBC_FORMAT).options(**jdbc_options(cfg)).load()
+        return spark.read.format(JDBC_FORMAT).options(**opts).load()
     except Exception as e:  # pragma: no cover - jar-dependent
-        raise RuntimeError(
-            f"JDBC load failed — is the driver jar ({cfg.driver or 'for ' + cfg.url}) "
-            f"on the classpath? Add it via spark-submit --jars") from e
+        if _is_missing_class(e):
+            raise RuntimeError(
+                f"JDBC load failed — is the driver jar "
+                f"({cfg.driver or 'for ' + cfg.url}) on the classpath? "
+                f"Add it via spark-submit --jars") from e
+        raise
 
 
 @dataclass(frozen=True)
@@ -161,10 +173,12 @@ def snowflake_config_from_url(url: str, **kwargs) -> SnowflakeConfig:
 def read_snowflake(spark: SparkSession, cfg: SnowflakeConfig) -> DataFrame:
     """Load via the Snowflake Spark connector (jar supplied at submit
     time: ``--packages net.snowflake:spark-snowflake_2.13:<ver>``)."""
+    opts = snowflake_options(cfg)  # config errors surface as-is
     try:
-        return (spark.read.format(SNOWFLAKE_FORMAT)
-                .options(**snowflake_options(cfg)).load())
+        return spark.read.format(SNOWFLAKE_FORMAT).options(**opts).load()
     except Exception as e:  # pragma: no cover - jar-dependent
-        raise RuntimeError(
-            "Snowflake load failed — is the spark-snowflake connector on "
-            "the classpath? Add it via spark-submit --packages") from e
+        if _is_missing_class(e):
+            raise RuntimeError(
+                "Snowflake load failed — is the spark-snowflake connector "
+                "on the classpath? Add it via spark-submit --packages") from e
+        raise

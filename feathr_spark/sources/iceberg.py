@@ -134,6 +134,12 @@ def read_iceberg(
             r = r.option(k, v)
         return r.table(table)
     except Exception as e:  # pragma: no cover - jar-dependent
-        raise RuntimeError(
-            f"Iceberg read failed — is {RUNTIME_PACKAGE} on the classpath "
-            f"and the catalog configured (iceberg_catalog_conf)?") from e
+        msg = str(e)
+        # only a missing-runtime failure earns the jar hint; a missing
+        # table / bad snapshot id / auth error re-raises untouched
+        if "ClassNotFound" in msg or "NoClassDefFoundError" in msg \
+                or "Cannot find catalog plugin" in msg:
+            raise RuntimeError(
+                f"Iceberg read failed — is {RUNTIME_PACKAGE} on the classpath "
+                f"and the catalog configured (iceberg_catalog_conf)?") from e
+        raise

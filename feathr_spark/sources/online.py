@@ -41,7 +41,12 @@ KEY_COLUMN = "feature_key"
 
 
 def online_key_column(key_cols: Sequence[str]):
-    """``concat_ws("#", keys)`` with the reference's null guard."""
+    """``concat_ws("#", keys)`` with the reference's null guard.
+
+    Reference-faithful format: a key VALUE containing ``#`` is ambiguous
+    in the composite (('a#b','c') == ('a','b#c')) — same as the
+    reference; pre-escape the separator upstream if your keys allow it.
+    """
     parts = [
         F.when(F.col(c).cast("string").isNull(), F.lit(NULL_KEY_GUARD))
         .otherwise(F.col(c).cast("string"))
@@ -60,7 +65,13 @@ def prepare_online_frame(
     feature_cols = list(feature_cols or
                         [c for c in df.columns if c not in set(key_cols)])
     keyed = df.withColumn(KEY_COLUMN, online_key_column(key_cols))
-    keyed = keyed.where(~F.col(KEY_COLUMN).contains(NULL_KEY_GUARD))
+    # drop rows by checking the SOURCE key columns for null, not by
+    # substring-matching the guard in the composite key — a legitimate
+    # key value containing "_null_" must not be dropped
+    null_any = F.lit(False)
+    for c in key_cols:
+        null_any = null_any | F.col(c).cast("string").isNull()
+    keyed = keyed.where(~null_any)
     # null feature -> SQL NULL (to_json would render "{}"): the online
     # hash simply omits the field, matching the reference's sparse write
     enc = [F.when(F.col(c).isNotNull(),
