@@ -771,6 +771,26 @@ def q_stream_sliding(spark, sf_dir):
         "user_id", F.unix_timestamp("window_start").alias("bucket_start"), "n", "v_sum")
 
 
+def q_url_features(spark, sf_dir):
+    """Structural URL features (protocol/host/registered-domain/path
+    depth/query params) — documents carry no URL column, so the query
+    synthesizes a deterministic URL per doc from (doc_id, source),
+    exercising empty paths, missing query strings, and both schemes."""
+    from feathr_spark.operators.text import with_url_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://w"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("."), F.col("source"), F.lit(".example.com"),
+        F.expr("repeat('/p', doc_id % 4)"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    out = with_url_features(docs.withColumn("url", url))
+    return out.select("doc_id", "protocol", "host", "domain",
+                      "path_depth", "n_query_params")
+
+
 def q_lang_id(spark, sf_dir):
     """N-gram/stopword-heuristic language ID over documents."""
     from feathr_spark.operators.text import detect_language
@@ -1154,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
+        "url_features": q_url_features,
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
@@ -1660,6 +1681,32 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id ASC) AS rk
                 FROM documents
             ) WHERE rk <= 10
+        """,
+        "url_features": """
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+                       || '://w' || (doc_id % 5) || '.' || source || '.example.com'
+                       || repeat('/p', CAST(doc_id % 4 AS INT))
+                       || (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END)
+                       AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id,
+                       regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+                       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\\?([^#]*)$', 1) AS q
+                FROM u
+            )
+            SELECT doc_id, protocol, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                        AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN q = '' THEN 0
+                             ELSE len(string_split(q, '&')) END AS BIGINT)
+                       AS n_query_params
+            FROM parts
         """,
         "line_dedup": """
             WITH boiler AS (

@@ -220,3 +220,34 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
     grams = df.select(F.explode(shingles(text_col, n)).alias("ngram"))
     out = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
     return out.where(F.col("n") >= min_count) if min_count > 1 else out
+
+
+def url_features(url: Column | str) -> dict[str, Column]:
+    """Structural URL features for web-corpus curation: protocol, host,
+    registered-domain approximation (last two host labels), path depth,
+    query-parameter count. Pure ``F.parse_url``/regex JVM expressions —
+    codegen, no shuffle; group by ``domain`` for per-site caps
+    (:func:`~feathr_spark.operators.corpus.cap_per_group`) or dedup.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.parse_url(c, F.lit("HOST"))
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(c, F.lit("QUERY"))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(n >= 2, F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1))).otherwise(host)
+    return {
+        "protocol": F.parse_url(c, F.lit("PROTOCOL")),
+        "host": host,
+        "domain": domain,
+        "path_depth": F.size(F.filter(F.split(path, "/"),
+                                      lambda s: s != "")).cast("long"),
+        "n_query_params": F.when(query.isNull(), F.lit(0)).otherwise(
+            F.size(F.split(query, "&"))).cast("long"),
+    }
+
+
+def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    cols = url_features(url_col)
+    return df.select("*", *[v.alias(k) for k, v in cols.items()])
