@@ -50,6 +50,8 @@ HEADLINE = [
     "minhash_clusters",
     "simhash_pairs",
     "knn_bruteforce",
+    "line_dedup",
+    "url_features",
 ]
 
 
