@@ -597,6 +597,26 @@ def q_asof_cogroup(spark, sf_dir):
 GEN_CUTOFF = 1_705_276_800  # 2024-01-15T00:00:00Z, mid-events-range
 
 
+def q_gen_term_map(spark, sf_dir):
+    """Grouped generation feature: per user, a map event_type -> SUM(value)
+    over the 3d window (reference CollectTermValueMap UDAF). Output is
+    EXPLODED to (user_id, term, value) scalar rows so the harness can
+    sort/hash (map columns are unsortable in pandas)."""
+    from feathr_spark.definitions import SWAFeature, WindowSpec
+    from feathr_spark.materialize import GenSpec, generate_features
+
+    ev = _t(spark, sf_dir, "events")
+    spec = GenSpec(
+        keys=["user_id"], key_names=["user_id"],
+        ts_col="ts", ts_format="timestamp",
+        features=[SWAFeature("v_by_type", "SUM", "value", WindowSpec(3 * 86400),
+                             group_by="event_type")],
+    )
+    out = generate_features(ev, spec, GEN_CUTOFF)
+    ex = out.select("user_id", F.explode("v_by_type").alias("term", "v"))
+    return ex.select("user_id", "term", F.round("v", 4).alias("v_sum"))
+
+
 def q_gen_cutoff(spark, sf_dir):
     """Feature generation (materialization): per-entity aggregates over
     the window ending at a fixed cutoff."""
@@ -1168,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "asof_cogroup": q_asof_cogroup,
         "gen_cutoff": q_gen_cutoff,
+        "gen_term_map": q_gen_term_map,
         "gen_incremental": q_gen_incremental,
         "rollup_daily": q_rollup_daily,
         "word_counts": q_word_counts,
@@ -1625,6 +1646,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events o ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'purchase'
             ) f ON o.user_id = f.user_id AND f.ts <= o.ts
+        """,
+        "gen_term_map": f"""
+            SELECT user_id, event_type AS term,
+                   round(sum(value), 4) AS v_sum
+            FROM events
+            WHERE epoch_us(ts) > CAST({GEN_CUTOFF} - 3*86400 AS BIGINT) * 1000000
+              AND epoch_us(ts) <= CAST({GEN_CUTOFF} AS BIGINT) * 1000000
+              AND event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY user_id, event_type
+            HAVING sum(value) IS NOT NULL
         """,
         "gen_cutoff": f"""
             SELECT user_id,

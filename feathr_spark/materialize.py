@@ -143,13 +143,39 @@ def generate_features(
         key_nonnull = c if key_nonnull is None else (key_nonnull & c)
     df = df.where(key_nonnull)
 
-    aggs = [
-        _agg_col(f, _window_metric(f, cutoff_us), cutoff_us).alias(f.name)
-        for f in spec.features
-    ]
-    out = df.groupBy(*spec.key_names).agg(*aggs)
+    plain = [f for f in spec.features if f.group_by is None]
+    grouped = [f for f in spec.features if f.group_by is not None]
+
+    if plain:
+        aggs = [
+            _agg_col(f, _window_metric(f, cutoff_us), cutoff_us).alias(f.name)
+            for f in plain
+        ]
+        out = df.groupBy(*spec.key_names).agg(*aggs)
+    else:
+        out = df.select(*spec.key_names).distinct()
+
+    # grouped generation features (f.group_by set): per entity a
+    # map<term, value> — the reference's CollectTermValueMap UDAF
+    # (offline/generation/aggregations/CollectTermValueMap.scala:17).
+    # Spark-first: groupBy(entity, term) with map-side partial combine,
+    # then map_from_entries over the (small, per-entity) term list; no
+    # UDAF, both stages whole-stage-codegen. Entries are sorted by term
+    # so the map column is deterministic across partitionings.
+    keys = list(spec.key_names)
+    for f in grouped:
+        gdf = df.withColumn("__term", F.expr(f.group_by).cast("string")) \
+                .where(F.col("__term").isNotNull())
+        per_term = gdf.groupBy(*keys, "__term").agg(
+            _agg_col(f, _window_metric(f, cutoff_us), cutoff_us).alias("__val"))
+        m = per_term.where(F.col("__val").isNotNull()).groupBy(*keys).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__term", "__val")))
+            ).alias(f.name))
+        out = out.join(m, keys, "left")
+
     for f in spec.features:
-        if f.default is not None:
+        if f.default is not None and f.group_by is None:
             out = out.withColumn(f.name, F.coalesce(F.col(f.name), F.lit(f.default)))
     return out
 
