@@ -967,6 +967,59 @@ def q_swa_sim_delay(spark, sf_dir):
     return out.select("event_id", F.round("s", 4).alias("sum_1d_sim1h"))
 
 
+def q_full_plan(spark, sf_dir):
+    """Kitchen-sink planner run in ONE join_features call: two SWA
+    anchors on different sources (events + filtered purchases — the
+    planner's source de-dup and stage ordering), a row-level profile
+    anchor (equality join), and a derived feature over columns from two
+    different stages. End-to-end test of the multi-stage plan the
+    reference's MultiStageJoinPlanner builds."""
+    from feathr_spark.definitions import (Anchor, DerivedFeature, Feature,
+                                          ObservationSettings, Source,
+                                          SWAFeature, WindowSpec)
+    from feathr_spark.plans.planner import join_features
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where("event_type = 'purchase'")
+    profile = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_value_all"),
+        F.count(F.lit(1)).alias("n_events_all"))
+    obs = ev.select("event_id", "user_id", "ts")
+
+    anchors = [
+        Anchor("swa_ev",
+               Source(path="ev", timestamp_col="ts", timestamp_format="timestamp"),
+               keys=["user_id"],
+               features=[SWAFeature("v_sum_1d", "SUM", "value", WindowSpec(86400)),
+                         SWAFeature("v_cnt_7d", "COUNT", "value",
+                                    WindowSpec(7 * 86400))]),
+        Anchor("swa_purch",
+               Source(path="purch", timestamp_col="ts", timestamp_format="timestamp"),
+               keys=["user_id"],
+               features=[SWAFeature("p_latest_7d", "LATEST", "value",
+                                    WindowSpec(7 * 86400))]),
+        Anchor("profile", Source(path="prof"), keys=["user_id"],
+               features=[Feature("avg_value_all", "avg_value_all"),
+                         Feature("n_events_all", "n_events_all")]),
+    ]
+    derived = [DerivedFeature("sum_over_avg",
+                              "round(v_sum_1d / (avg_value_all + 1), 6)")]
+    out = join_features(
+        spark, obs,
+        ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                            timestamp_format="timestamp"),
+        anchors, derived=derived,
+        source_cache={"ev": ev, "purch": purchases, "prof": profile})
+    return out.select(
+        "event_id",
+        F.round("v_sum_1d", 4).alias("v_sum_1d"),
+        F.col("v_cnt_7d").cast("long").alias("v_cnt_7d"),
+        F.round("p_latest_7d", 4).alias("p_latest_7d"),
+        "avg_value_all",
+        F.col("n_events_all").cast("long").alias("n_events_all"),
+        "sum_over_avg")
+
+
 def q_lookup_elementwise(spark, sf_dir):
     """ELEMENTWISE_AVG lookup aggregation: each document's bucket key
     expands to the embeddings in that bucket; the arrays average
@@ -1211,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_slick": q_swa_slick,
         "swa_sim_delay": q_swa_sim_delay,
         "lookup_elementwise": q_lookup_elementwise,
+        "full_plan": q_full_plan,
         "swa_custom_agg": q_swa_custom_agg,
         "quantize_embeddings": q_quantize_embeddings,
         "repetition_features": q_repetition_features,
@@ -1646,6 +1700,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events o ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'purchase'
             ) f ON o.user_id = f.user_id AND f.ts <= o.ts
+        """,
+        "full_plan": """
+            WITH prof AS (
+                SELECT user_id, round(avg(value), 6) AS avg_value_all,
+                       count(*) AS n_events_all
+                FROM events GROUP BY user_id
+            ), swa AS (
+                SELECT o.event_id,
+                       sum(CASE WHEN epoch_us(f.ts) > epoch_us(o.ts) - 86400000000
+                           THEN f.value END) AS v_sum_1d_raw,
+                       count(f.value) AS v_cnt_7d
+                FROM events o LEFT JOIN events f
+                  ON f.user_id = o.user_id
+                 AND epoch_us(f.ts) >  epoch_us(o.ts) - 7*86400000000
+                 AND epoch_us(f.ts) <= epoch_us(o.ts)
+                GROUP BY o.event_id
+            ), pl AS (
+                SELECT o.event_id,
+                       round(arg_max(f.value, f.ts), 4) AS p_latest_7d
+                FROM events o LEFT JOIN (
+                    SELECT * FROM events WHERE event_type = 'purchase') f
+                  ON f.user_id = o.user_id
+                 AND epoch_us(f.ts) >  epoch_us(o.ts) - 7*86400000000
+                 AND epoch_us(f.ts) <= epoch_us(o.ts)
+                GROUP BY o.event_id
+            )
+            SELECT o.event_id, round(swa.v_sum_1d_raw, 4) AS v_sum_1d,
+                   swa.v_cnt_7d, pl.p_latest_7d,
+                   p.avg_value_all, p.n_events_all,
+                   round(swa.v_sum_1d_raw / (p.avg_value_all + 1), 6) AS sum_over_avg
+            FROM events o
+            JOIN swa USING (event_id)
+            JOIN pl USING (event_id)
+            LEFT JOIN prof p ON p.user_id = o.user_id
         """,
         "gen_term_map": f"""
             SELECT user_id, event_type AS term,
