@@ -52,6 +52,7 @@ HEADLINE = [
     "knn_bruteforce",
     "line_dedup",
     "url_features",
+    "full_plan",              # multi-stage planner end-to-end
 ]
 
 
