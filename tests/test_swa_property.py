@@ -171,3 +171,69 @@ def test_asof_matches_brute_force(spark, strategy, fact, obs, delay, tolerance):
             assert g["last_v"] is not None and math.isclose(
                 float(g["last_v"]), want["last_v"], rel_tol=1e-9), ctx
             assert g["last_cat"] == want["last_cat"], ctx
+
+
+# ---------------------------------------------------------------------------
+# pooling aggregation property test (cogroup kernel, array-valued metric)
+# ---------------------------------------------------------------------------
+
+
+vec_fact_rows = st.lists(
+    st.tuples(st.sampled_from(FACT_KEYS),
+              st.integers(0, 20),                               # ts
+              st.lists(st.integers(-4, 4), min_size=3, max_size=3)),  # vec
+    min_size=0, max_size=10,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def brute_force_pooling(obs, fact, width):
+    out = []
+    for i, (k, t) in enumerate(obs):
+        vecs = [] if k is None else [
+            v for (fk, ts, v) in fact if fk == k and t - width < ts <= t]
+        if not vecs:
+            out.append(dict(obs_id=i, mx=None, mn=None, sm=None, av=None))
+        else:
+            cols = list(zip(*vecs))
+            out.append(dict(
+                obs_id=i,
+                mx=[float(max(c)) for c in cols],
+                mn=[float(min(c)) for c in cols],
+                sm=[float(sum(c)) for c in cols],
+                av=[sum(c) / len(c) for c in cols],
+            ))
+    return out
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fact=vec_fact_rows, obs=obs_rows, width=st.integers(1, 15))
+def test_pooling_matches_brute_force(spark, fact, obs, width):
+    obs_df = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(obs)],
+        "obs_id long, k string, ts double")
+    fact_df = spark.createDataFrame(
+        [(k, float(ts), [float(x) for x in v]) for (k, ts, v) in fact],
+        "k string, ts double, vec array<double>")
+    feats = [
+        SWAFeature("mx", "MAX_POOLING", "vec", WindowSpec(width)),
+        SWAFeature("mn", "MIN_POOLING", "vec", WindowSpec(width)),
+        SWAFeature("sm", "SUM_POOLING", "vec", WindowSpec(width)),
+        SWAFeature("av", "AVG_POOLING", "vec", WindowSpec(width)),
+    ]
+    got = {r["obs_id"]: r for r in join_window_agg_features(
+        obs_df, fact_df, ["k"], ["k"], "ts", "ts", feats,
+        strategy="cogroup").collect()}
+    for want in brute_force_pooling(obs, fact, width):
+        g = got[want["obs_id"]]
+        for name in ("mx", "mn", "sm", "av"):
+            w, v = want[name], g[name]
+            ctx = (f"obs {want['obs_id']} {name} (w={width}): want {w} "
+                   f"got {v}\nobs={obs}\nfact={fact}")
+            if w is None:
+                assert v is None, ctx
+            else:
+                assert v is not None and len(v) == len(w) and all(
+                    math.isclose(float(a), float(b), rel_tol=1e-9)
+                    for a, b in zip(v, w)), ctx
