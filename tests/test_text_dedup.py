@@ -171,6 +171,29 @@ def test_minhash_dedup_chain_converges(spark):
     assert set(labels.values()) == {1}, labels
 
 
+def test_minhash_dedup_threshold_boundary(spark, near_dup_corpus):
+    """Exercise both CC paths at the EXACT threshold boundary: with
+    verify='exact' the verified edge set equals ngram_jaccard_pairs'
+    output, so setting cc_broadcast_threshold to that count takes the
+    driver union-find fast path (n_edges <= threshold) and count-1 takes
+    the distributed fixpoint — labels must agree either way."""
+    rows, _ = near_dup_corpus
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_edges = ngram_jaccard_pairs(df, threshold=0.5).count()
+    assert n_edges >= 2  # corpus is built to have a near-dup triangle
+    at_boundary = {(r["doc_id"], r["cluster_rep"])
+                   for r in minhash_lsh_dedup(
+                       df, threshold=0.5, verify="exact",
+                       cc_broadcast_threshold=n_edges).collect()}
+    below_boundary = {(r["doc_id"], r["cluster_rep"])
+                      for r in minhash_lsh_dedup(
+                          df, threshold=0.5, verify="exact",
+                          cc_broadcast_threshold=n_edges - 1).collect()}
+    assert at_boundary == below_boundary
+    labels = dict(at_boundary)
+    assert labels[1] == labels[2] == labels[3] == 1
+
+
 def test_minhash_dedup_broadcast_vs_distributed_parity(spark, near_dup_corpus):
     """The driver union-find fast path (edge set fits the driver) and the
     distributed fixpoint loop must produce identical labels."""
