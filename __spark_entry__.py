@@ -1201,7 +1201,40 @@ def q_mixture_weights(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
+    # FIRST 50 dict entries only. Policy: (1) queries that have never had
+    # a driver row (new this round, or crowded out of every prior round)
+    # go first; (2) queries whose last green driver row is >1 round old
+    # next; (3) flagship operators re-confirmed each round fill the rest
+    # of the 50-slot window; (4) queries past the cap are all green in
+    # CORRECTNESS_r02.json and covered by the identical DuckDB oracles in
+    # tests/test_driver_contract.py every round.
     return {
+        # -- (1) never driver-checked before round 3 ----------------------
+        "full_plan": q_full_plan,
+        "lookup_elementwise": q_lookup_elementwise,
+        "swa_sim_delay": q_swa_sim_delay,
+        "swa_custom_agg": q_swa_custom_agg,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_lsh_det": q_ann_lsh_det,
+        "ann_ivf_det": q_ann_ivf_det,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_features": q_repetition_features,
+        "contamination_check": q_contamination,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "mixture_weights": q_mixture_weights,
+        # -- (2) green in round 1 only, crowded out of round 2 ------------
+        "doc_fingerprint": q_doc_fingerprint,
+        "feature_stats": q_feature_stats,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "rollup_distinct_daily": q_rollup_distinct_daily,
+        "swa_lateral": q_swa_lateral,
+        "swa_slick": q_swa_slick,
+        # -- (3) flagship re-confirmation window ---------------------------
         "swa_sum_count_avg": q_swa_sum_count_avg,
         "swa_sum_count_avg_cogroup": q_swa_sum_count_avg_cogroup,
         "swa_min_max": q_swa_min_max,
@@ -1210,9 +1243,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swa_filtered": q_swa_filtered,
         "swa_delay": q_swa_delay,
         "swa_grouped_topk": q_swa_grouped_topk,
+        "swa_pooling": q_swa_pooling,
+        "swa_multikey": q_swa_multikey,
+        "swa_salted": q_swa_salted,
         "asof_purchase": q_asof_purchase,
         "asof_tokens": q_asof_tokens,
         "asof_prune": q_asof_prune,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_cogroup": q_asof_cogroup,
+        "minhash_clusters": q_minhash_clusters,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "gen_cutoff": q_gen_cutoff,
+        "gen_term_map": q_gen_term_map,
+        # -- (4) past the 50-row cap: all green in CORRECTNESS_r02 ---------
+        "gen_incremental": q_gen_incremental,
+        "rollup_daily": q_rollup_daily,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -1231,19 +1278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count": q_shingle_count,
         "embedding_norms": q_embedding_norms,
         "pairwise_cosine": q_pairwise_cosine,
-        "minhash_clusters": q_minhash_clusters,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "knn_bruteforce": q_knn_bruteforce,
-        "swa_multikey": q_swa_multikey,
-        "swa_salted": q_swa_salted,
-        "swa_pooling": q_swa_pooling,
-        "asof_tolerance": q_asof_tolerance,
-        "asof_cogroup": q_asof_cogroup,
-        "gen_cutoff": q_gen_cutoff,
-        "gen_term_map": q_gen_term_map,
-        "gen_incremental": q_gen_incremental,
-        "rollup_daily": q_rollup_daily,
         "word_counts": q_word_counts,
         "ngram_counts": q_ngram_counts,
         "domain_cap": q_domain_cap,
@@ -1252,28 +1286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "near_dup_embeddings": q_near_dup_embeddings,
-        "semantic_dedup": q_semantic_dedup,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_det": q_ann_lsh_det,
-        "ann_ivf_det": q_ann_ivf_det,
-        "rollup_distinct_daily": q_rollup_distinct_daily,
-        "swa_lateral": q_swa_lateral,
-        "feature_stats": q_feature_stats,
-        "swa_slick": q_swa_slick,
-        "swa_sim_delay": q_swa_sim_delay,
-        "lookup_elementwise": q_lookup_elementwise,
-        "full_plan": q_full_plan,
-        "swa_custom_agg": q_swa_custom_agg,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_features": q_repetition_features,
-        "ann_ivf": q_ann_ivf,
-        "contamination_check": q_contamination,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "mixture_weights": q_mixture_weights,
     }
 
 
