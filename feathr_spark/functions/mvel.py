@@ -264,14 +264,29 @@ class _Parser:
     def equality(self) -> str:
         left = self.relational()
         while True:
+            # MVEL null equality is symmetric: 'null == x' must emit IS
+            # NULL exactly like 'x == null' (SQL 'NULL = x' would yield
+            # NULL, i.e. false in a filter — a silent semantics change)
             if self.accept("=="):
                 right = self.relational()
-                left = (f"({left} IS NULL)" if right == "NULL"
-                        else f"({left} = {right})")
+                if right == "NULL" and left == "NULL":
+                    left = "TRUE"
+                elif right == "NULL":
+                    left = f"({left} IS NULL)"
+                elif left == "NULL":
+                    left = f"({right} IS NULL)"
+                else:
+                    left = f"({left} = {right})"
             elif self.accept("!="):
                 right = self.relational()
-                left = (f"({left} IS NOT NULL)" if right == "NULL"
-                        else f"({left} <> {right})")
+                if right == "NULL" and left == "NULL":
+                    left = "FALSE"
+                elif right == "NULL":
+                    left = f"({left} IS NOT NULL)"
+                elif left == "NULL":
+                    left = f"({right} IS NOT NULL)"
+                else:
+                    left = f"({left} <> {right})"
             else:
                 return left
 

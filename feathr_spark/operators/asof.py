@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from feathr_spark.functions.timestamps import to_epoch_micros
 from feathr_spark.operators import kernels
+from feathr_spark.session import track_cache
 from feathr_spark.operators.swa import (
     _default_buckets,
     _isolate_null_keys,
@@ -244,7 +245,9 @@ def _asof_prune(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
     fact_slim = fact_proj.select(*kcols, "__ts", "__nk")
     slim = _asof_union(obs, fact_slim, n_keys, [], delay_us, tol_us,
                        emit_match_ts=True).drop("__row")
-    slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    # the returned frame is lazy over this cache; registered so
+    # feathr_spark.release_caches() frees it after the caller materializes
+    slim = track_cache(slim.persist(StorageLevel.MEMORY_AND_DISK))
     pairs = (slim.where(F.col("__match_ts").isNotNull())
              .select(*kcols, F.col("__match_ts").alias("__ts"))
              .dropDuplicates())

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from feathr_spark.operators.text import shingles, token_count
+from feathr_spark.session import track_cache
 
 # ---------------------------------------------------------------------------
 # benchmark decontamination
@@ -163,11 +164,11 @@ def pack_sequences(
         # Persisting pins one physical partitioning; the subtotal collect
         # below materializes it, and every later action (and any evicted-
         # partition recompute) reuses the same RDD lineage and seed.
-        # Callers should spark.catalog.clearCache() (or unpersist) once the
-        # packed output has been materialized; the per-group variant
-        # (partition_by=...) needs no cache and is the 100 TB path.
-        with_pid = (ranged.withColumn("__pid", F.spark_partition_id())
-                    .persist(StorageLevel.MEMORY_AND_DISK))
+        # Registered with track_cache: call feathr_spark.release_caches()
+        # once the packed output has been materialized; the per-group
+        # variant (partition_by=...) needs no cache and is the 100 TB path.
+        with_pid = track_cache(ranged.withColumn("__pid", F.spark_partition_id())
+                               .persist(StorageLevel.MEMORY_AND_DISK))
         subtotals = {r["__pid"]: r["__t"] for r in
                      with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("__t")).collect()}
         offs, acc = {}, 0

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from feathr_spark.operators.text import normalize_text, shingle_hashes
+from feathr_spark.session import track_cache
 
 # ---------------------------------------------------------------------------
 # exact
@@ -298,6 +299,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            # the returned frame IS the persisted label table (dropping
+            # the cache would replay the whole fixpoint) — register it so
+            # feathr_spark.release_caches() can free it once the caller
+            # has materialized downstream results
+            track_cache(labels)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds")
@@ -448,11 +454,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     pipeline materializes to storage once anyway. Pass a precomputed
     (already persisted) ``fp`` to share it with other stages AND let the
     caller own the unpersist; when this function persists it internally
-    the cache lives until ``spark.catalog.clearCache()`` (the returned
-    frame is lazy over it)."""
+    the cache is registered with :func:`feathr_spark.session.track_cache`
+    — call ``feathr_spark.release_caches()`` once the returned frame has
+    been materialized."""
     own_fp = fp is None
     if own_fp:
-        fp = fingerprints(df, text_col, id_col, num_hashes, shingle_n).persist()
+        fp = track_cache(
+            fingerprints(df, text_col, id_col, num_hashes, shingle_n).persist())
     pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, num_hashes // bands)
     return _exact_jaccard_over(pairs, fp, id_col, threshold)
 
@@ -489,12 +497,13 @@ def simhash_verified_pairs(
     and normalized once, the shingle hashes computed once, and the
     MinHash signature derived from those same hashes (round-2 built two
     overlapping cached tables, each re-reading the text — the bench
-    regression the round-2 verdict flagged). The cache lives until
-    ``spark.catalog.clearCache()`` since the returned frame is lazy
-    over it; at corpus scale this is the fingerprint table you'd
-    materialize to storage once."""
-    fp = fingerprints(df, text_col, id_col, num_hashes=64,
-                      shingle_n=shingle_n, include_simhash=True).persist()
+    regression the round-2 verdict flagged). The returned frame is lazy
+    over the cache, which is registered with
+    :func:`feathr_spark.session.track_cache` — call
+    ``feathr_spark.release_caches()`` once materialized; at corpus scale
+    this is the fingerprint table you'd materialize to storage once."""
+    fp = track_cache(fingerprints(df, text_col, id_col, num_hashes=64,
+                                  shingle_n=shingle_n, include_simhash=True).persist())
     cand = simhash_near_dup_pairs(fp, "simhash", id_col, max_hamming).select("id_a", "id_b")
     if screen_margin is not None:
         est_pairs = (

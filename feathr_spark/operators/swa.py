@@ -490,7 +490,8 @@ def _hot_keys(fact: DataFrame, n_keys: int, threshold: int,
 
 def _salt(obs: DataFrame, fact: DataFrame, n_keys: int, threshold: int, buckets: int,
           method: str = "exact", hot_keys_df: Optional[DataFrame] = None,
-          slice_width_us: Optional[int] = None, span_us: int = 0):
+          slice_width_us: Optional[int] = None, span_us: int = 0,
+          lo_shift_us: int = 0):
     """Skew handling for hot keys — two schemes, both keeping each
     observation's full visible window inside its (key, salt) fragment:
 
@@ -519,8 +520,12 @@ def _salt(obs: DataFrame, fact: DataFrame, n_keys: int, threshold: int, buckets:
     # explode can't sit inside when(); build hot/cold branches and union
     if slice_width_us:
         w = int(slice_width_us)
+        # an obs at T sees fact t iff T in [t + delay, t + delay + width):
+        # with a NEGATIVE delay the earliest seeing obs sits at t +
+        # min_delay < t, so copies must extend DOWN to that chunk
+        # (lo_shift_us = min(min_delay, 0); 0 when all delays are >= 0)
         fact_copies = F.sequence(
-            F.floor(F.col("__ts") / F.lit(w)),
+            F.floor((F.col("__ts") + F.lit(int(lo_shift_us))) / F.lit(w)),
             F.floor((F.col("__ts") + F.lit(int(span_us))) / F.lit(w)))
         # null-ts observations match nothing but still need a valid bucket
         obs_salt = F.coalesce(F.floor(F.col("__ts") / F.lit(w)), F.lit(0))
@@ -560,11 +565,13 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
         # restores full replication (e.g. when the whole observed
         # timeline is shorter than a couple of window widths).
         span_us = max((f.window.width_us + f.window.delay_us) for f in features)
+        lo_shift_us = min(0, min(f.window.delay_us for f in features))
         slice_w = span_us if (salt_mode in ("auto", "time_slice") and span_us > 0) \
             else None
         obs, fact_proj = _salt(obs, fact_proj, n_keys, hot_key_threshold or 0,
                                salt_buckets, hot_key_method, hot_keys_df,
-                               slice_width_us=slice_w, span_us=span_us)
+                               slice_width_us=slice_w, span_us=span_us,
+                               lo_shift_us=lo_shift_us)
         seg_cols = kcols + ["__nk", "__salt"]
 
     b = num_buckets or _default_buckets(obs)
@@ -609,6 +616,36 @@ def _swa_cogroup(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_k
 _SLICK_UIDS = ["_slick_u1", "_slick_u2"]
 
 
+def _contains_map(dt) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def content_uid_inputs(schema: T.StructType):
+    """xxhash64-safe hash inputs covering EVERY column of ``schema``.
+
+    ``xxhash64`` rejects MapType anywhere in a column's type tree (top
+    level, array element, struct field). Excluding such columns from a
+    content uid is a correctness hazard: rows identical in the hashable
+    columns but differing in a map would share a uid, and a downstream
+    dedup-on-uid would silently give every duplicate one arbitrary row's
+    features. Instead, map-containing columns are rendered with
+    ``to_json`` before hashing, so they *contribute* to the uid. Two
+    logically-equal maps with different internal entry order hash
+    differently — that only costs a missed dedup (both rows computed,
+    each joined back to itself), never a wrong share. Determinism across
+    plan branches/retries requires the input plan itself to be
+    deterministic, same as for any non-map column.
+    """
+    return [F.to_json(F.col(f.name)) if _contains_map(f.dataType) else F.col(f.name)
+            for f in schema.fields]
+
+
 def slick_trim(obs: DataFrame, exprs: Sequence[str]):
     """The reference's "slick join" observation trim
     (OptimizerUtils.scala:92-105 + DataFrameFeatureJoiner.scala:246-253):
@@ -632,16 +669,15 @@ def slick_trim(obs: DataFrame, exprs: Sequence[str]):
     deduped on uid, and since such rows carry identical keys/timestamps
     their features are identical too, so the join-back gives every
     duplicate the same (correct) feature row and preserves row count.
-    Map-typed columns are excluded from the hash (Spark cannot hash
-    maps); rows differing ONLY in map columns therefore share a uid,
-    which is harmless for the same reason.
+    Map-containing columns (any nesting) contribute via a to_json
+    rendering — see :func:`content_uid_inputs` — so rows differing only
+    in a map never share a uid.
 
     Returns (wide_obs_with_uid, trimmed_obs_deduped).
     """
-    hashable = [f.name for f in obs.schema.fields
-                if not isinstance(f.dataType, T.MapType)]
-    u1 = F.xxhash64(F.lit(0x51C4_0001), *[F.col(c) for c in hashable])
-    u2 = F.xxhash64(F.lit(0x51C4_0002), *[F.col(c) for c in hashable])
+    hash_in = content_uid_inputs(obs.schema)
+    u1 = F.xxhash64(F.lit(0x51C4_0001), *hash_in)
+    u2 = F.xxhash64(F.lit(0x51C4_0002), *hash_in)
     wide = obs.withColumn(_SLICK_UIDS[0], u1).withColumn(_SLICK_UIDS[1], u2)
     trimmed = wide.select(
         *_SLICK_UIDS, *[F.expr(e).alias(f"_slick_c{i}") for i, e in enumerate(exprs)]

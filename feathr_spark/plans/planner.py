@@ -44,7 +44,7 @@ from feathr_spark.definitions import (
 from feathr_spark.operators.asof import asof_join
 from feathr_spark.operators.derived import apply_derived_features
 from feathr_spark.operators.lookup import lookup_join
-from feathr_spark.operators.swa import join_window_agg_features
+from feathr_spark.operators.swa import content_uid_inputs, join_window_agg_features
 from feathr_spark.sources.batch import load_source
 
 PASSTHROUGH = "passthrough"
@@ -282,15 +282,15 @@ def join_features(
     # nondeterministic — the reference flags the same hazard
     # (SequentialJoinAsDerivation.scala:125-129). Bytewise-identical rows
     # share a uid; lookup_join dedups on uid pre-join and fans the one
-    # (identical) result back to every duplicate. Map-typed columns are
-    # unhashable and excluded — rows differing only there share a uid,
-    # equally harmless.
+    # (identical) result back to every duplicate. Map-containing columns
+    # (any nesting) contribute via a to_json rendering — see
+    # operators.swa.content_uid_inputs — so rows differing only in a map
+    # never share a uid.
     if lookups:
-        hashable = [f.name for f in out.schema.fields
-                    if not isinstance(f.dataType, T.MapType)]
+        hash_in = content_uid_inputs(out.schema)
         out = out.withColumn("__lk_uid", F.struct(
-            F.xxhash64(F.lit(0x100C_0001), *[F.col(c) for c in hashable]).alias("u1"),
-            F.xxhash64(F.lit(0x100C_0002), *[F.col(c) for c in hashable]).alias("u2"),
+            F.xxhash64(F.lit(0x100C_0001), *hash_in).alias("u1"),
+            F.xxhash64(F.lit(0x100C_0002), *hash_in).alias("u2"),
         ))
     for lk in lookups:
         exp_anchor = next(a for a in anchors if a.name == lk.expansion_anchor)

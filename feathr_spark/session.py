@@ -176,3 +176,43 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# ---------------------------------------------------------------------------
+# cache registry
+#
+# Some operators return a DataFrame that is LAZY over an internally
+# persisted intermediate (the prune as-of's slim match table, dedup's
+# fixpoint labels): the operator cannot unpersist before the caller
+# materializes the result, so without bookkeeping those obs-scale caches
+# accumulate across a long session / multi-stage plan until executor
+# storage evicts them unpredictably. Operators register such persists
+# with track_cache(); a pipeline calls release_caches() once it has
+# materialized (written/collected) the outputs of a stage. Weak refs are
+# NOT needed — unpersist on an already-GC'd frame is a no-op via the
+# guarded loop below.
+# ---------------------------------------------------------------------------
+
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """Register an internally persisted DataFrame for later release."""
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every operator-internal cache registered since the last
+    call. Call after materializing a pipeline stage's outputs; returns
+    the number of caches released. Safe to call anytime — released
+    frames recompute from lineage if re-used."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

@@ -34,6 +34,11 @@ def _eval(spark, expr, rows, schema):
     ("isPresent(f)", "(f IS NOT NULL)"),
     ("x == null", "(x IS NULL)"),
     ("x != null", "(x IS NOT NULL)"),
+    # null equality is symmetric in MVEL; 'NULL = x' would be SQL-null
+    ("null == x", "(x IS NULL)"),
+    ("null != x", "(x IS NOT NULL)"),
+    ("null == null", "TRUE"),
+    ("null != null", "FALSE"),
     ("Math.log(toNumeric(omega))", "LN(CAST(omega AS DOUBLE))"),
     ("if_else(c, a, b)", "IF(c, a, b)"),
 ])

@@ -258,6 +258,65 @@ def test_time_slice_salt_matches_replicate(spark):
                            repl[c].astype(float).fillna(-1), rtol=1e-9), c
 
 
+def test_negative_delay_salted_matches_unsalted(spark):
+    """A negative delay lets an observation see FUTURE fact rows; the
+    time-sliced salt must copy hot-key fact rows DOWN into earlier
+    chunks (lo_shift) or matches silently vanish. Parity across
+    unsalted / time-slice / replicate."""
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [
+        SWAFeature("fw", "SUM", "n_tok", WindowSpec(2 * 86400, delay=-86400)),
+        SWAFeature("bk", "SUM", "n_tok", WindowSpec(86400)),
+    ]
+    kwargs = dict(obs_keys=["doc_id"], fact_keys=["doc_id"], obs_ts="ts",
+                  fact_ts="event_ts", features=feats, strategy="cogroup")
+    plain = join_window_agg_features(obs, fact, **kwargs).orderBy("obs_id").toPandas()
+    sliced = join_window_agg_features(obs, fact, hot_key_threshold=50, salt_buckets=4,
+                                      salt_mode="time_slice", **kwargs) \
+        .orderBy("obs_id").toPandas()
+    repl = join_window_agg_features(obs, fact, hot_key_threshold=50, salt_buckets=4,
+                                    salt_mode="replicate", **kwargs) \
+        .orderBy("obs_id").toPandas()
+    assert plain["fw"].notna().any()  # future-window matches actually exist
+    for c in ("fw", "bk"):
+        assert np.allclose(plain[c].astype(float).fillna(-1),
+                           sliced[c].astype(float).fillna(-1), rtol=1e-9), c
+        assert np.allclose(plain[c].astype(float).fillna(-1),
+                           repl[c].astype(float).fillna(-1), rtol=1e-9), c
+
+
+def test_slick_map_columns_hash_into_uid(spark):
+    """Map-typed obs columns (top-level AND nested in an array) must not
+    crash the content uid, and rows differing ONLY in a map — including
+    when the JOIN KEY is read out of the map — keep distinct uids and
+    get their own correct features."""
+    obs = spark.createDataFrame(
+        [(1, 10.0, {"k": "a"}, [{"t": "p"}]),
+         (2, 10.0, {"k": "b"}, [{"t": "q"}])],  # differs only in maps
+        "obs_id long, ts double, m map<string,string>, am array<map<string,string>>")
+    fact = spark.createDataFrame(
+        [("a", 5.0, 2.0), ("b", 5.0, 30.0)], "k string, ts double, v double")
+    feats = [SWAFeature("vsum", "SUM", "v", WindowSpec(100))]
+    out = join_window_agg_features(
+        obs.withColumn("k", F.col("m")["k"]), fact, ["k"], ["k"], "ts", "ts",
+        feats, slick=True).orderBy("obs_id").collect()
+    assert [r["vsum"] for r in out] == [2.0, 30.0]
+
+
+def test_release_caches(spark):
+    """Operator-internal persists registered via track_cache are freed by
+    feathr_spark.release_caches()."""
+    import feathr_spark as fs
+    from feathr_spark.operators.asof import asof_join
+
+    obs = spark.createDataFrame([(1, "a", 100.0)], "obs_id long, k string, ts double")
+    fact = spark.createDataFrame([("a", 50.0, 1.0)], "k string, ts double, v double")
+    out = asof_join(obs, fact, ["k"], ["k"], "ts", "ts", ["v"], strategy="prune")
+    assert out.count() == 1
+    assert fs.release_caches() >= 1
+    assert fs.release_caches() == 0  # registry drained
+
+
 def test_defaults_and_simulate_delay(toy):
     obs, fact = toy
     feats = [SWAFeature("v_sum", "SUM", "v", WindowSpec(100), default=0.0)]
