@@ -671,6 +671,114 @@ def q_gen_incremental(spark, sf_dir):
     )
 
 
+def q_gen_derived(spark, sf_dir):
+    """Feature generation with a post-aggregation derived stage
+    (reference: offline/evaluator/DerivedFeatureGenStage.scala, driven
+    from DataFrameFeatureGenerator.scala:44-175): two generated window
+    aggregates feed a derived ratio, and a second derivation depends on
+    the first — exercising dependency ordering inside generation."""
+    from feathr_spark.definitions import DerivedFeature, SWAFeature, WindowSpec
+    from feathr_spark.materialize import GenSpec, generate_features
+
+    ev = _t(spark, sf_dir, "events")
+    spec = GenSpec(
+        keys=["user_id"], key_names=["user_id"],
+        ts_col="ts", ts_format="timestamp",
+        features=[
+            SWAFeature("v_sum_3d", "SUM", "value", WindowSpec(3 * 86400)),
+            SWAFeature("v_cnt_3d", "COUNT", "value", WindowSpec(3 * 86400)),
+        ],
+        derived=(
+            # declared out of dependency order on purpose
+            DerivedFeature("v_avg_sq", "v_avg_3d * v_avg_3d",
+                           inputs=("v_avg_3d",)),
+            DerivedFeature("v_avg_3d", "v_sum_3d / v_cnt_3d",
+                           inputs=("v_sum_3d", "v_cnt_3d")),
+        ),
+    )
+    out = generate_features(ev, spec, GEN_CUTOFF)
+    return out.select(
+        "user_id",
+        F.round("v_sum_3d", 4).alias("v_sum_3d"),
+        F.col("v_cnt_3d").cast("long").alias("v_cnt_3d"),
+        F.round("v_avg_3d", 6).alias("v_avg_3d"),
+        F.round("v_avg_sq", 4).alias("v_avg_sq"),
+    )
+
+
+# Reference-dialect HOCON configs (FeathrConfigLoader.scala grammar) —
+# the plan below is built ONLY from these strings via feathr_spark.config.
+_HOCON_FEATURE_DEF = """
+sources: {
+  evSource: {
+    location: { path: "events" }
+    timeWindowParameters: {
+      timestampColumn: "ts"
+      timestampColumnFormat: "timestamp"
+    }
+  }
+}
+anchors: {
+  swaAnchor: {
+    source: "evSource"
+    key: "user_id"
+    features: {
+      h_val_sum: { def: "value", aggregation: SUM, window: 1h }
+      h_cnt:     { def: "value", aggregation: COUNT, window: 1h }
+      d_clicks: {
+        def: "value"
+        filter: "event_type = 'click'"
+        aggregation: COUNT
+        window: 1d
+        default: 0
+      }
+    }
+  }
+}
+derivations: {
+  // MVEL derivation over two joined SWA features
+  click_rate: "toNumeric(d_clicks) / toNumeric(h_cnt)"
+}
+"""
+
+_HOCON_JOIN_CONF = """
+settings: {
+  joinTimeSettings: {
+    timestampColumn: { def: ts, format: timestamp }
+  }
+}
+features: [
+  { key: user_id, featureList: [h_val_sum, h_cnt, d_clicks, click_rate] }
+]
+"""
+
+
+def q_hocon_join(spark, sf_dir):
+    """Feature join planned entirely from reference-style HOCON configs
+    (feature definition + join config), parsed by feathr_spark.config
+    (dialect: offline/config/FeathrConfigLoader.scala +
+    FeatureJoinConfig.scala) and executed through the standard planner —
+    proving config-level compatibility end to end."""
+    from feathr_spark.config import (
+        load_feature_def,
+        load_join_config,
+        run_join_config,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fdef = load_feature_def(_HOCON_FEATURE_DEF)
+    jc = load_join_config(_HOCON_JOIN_CONF)
+    obs = ev.select("event_id", "user_id", "ts")
+    out = run_join_config(spark, obs, fdef, jc, source_cache={"events": ev})
+    return out.select(
+        "event_id",
+        F.round("h_val_sum", 4).alias("h_val_sum"),
+        F.col("h_cnt").cast("long").alias("h_cnt"),
+        F.col("d_clicks").cast("long").alias("d_clicks"),
+        F.round("click_rate", 6).alias("click_rate"),
+    )
+
+
 def q_rollup_daily(spark, sf_dir):
     """Multi-level time-bucket rollup: the daily level is re-aggregated
     from hourly buckets (one raw scan), oracle-checked against direct
@@ -1211,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "hocon_join": q_hocon_join,
+        "gen_derived": q_gen_derived,
         "full_plan": q_full_plan,
         "lookup_elementwise": q_lookup_elementwise,
         "swa_sim_delay": q_swa_sim_delay,
@@ -1756,6 +1866,39 @@ def oracle_sql() -> dict[str, str]:
               AND event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY user_id, event_type
             HAVING sum(value) IS NOT NULL
+        """,
+        "gen_derived": f"""
+            WITH g AS (
+                SELECT user_id,
+                       sum(value)   AS s,
+                       count(value) AS c
+                FROM events
+                WHERE epoch_us(ts) > CAST({GEN_CUTOFF} - 3*86400 AS BIGINT) * 1000000
+                  AND epoch_us(ts) <= CAST({GEN_CUTOFF} AS BIGINT) * 1000000
+                GROUP BY user_id
+            )
+            SELECT user_id,
+                   round(s, 4) AS v_sum_3d,
+                   c AS v_cnt_3d,
+                   round(s / c, 6) AS v_avg_3d,
+                   round((s / c) * (s / c), 4) AS v_avg_sq
+            FROM g
+        """,
+        "hocon_join": """
+            SELECT o.event_id,
+                   round(sum(CASE WHEN epoch_us(f.ts) > epoch_us(o.ts) - 3600000000
+                             THEN f.value END), 4) AS h_val_sum,
+                   count(CASE WHEN epoch_us(f.ts) > epoch_us(o.ts) - 3600000000
+                         THEN f.value END) AS h_cnt,
+                   count(CASE WHEN f.event_type = 'click' THEN f.value END) AS d_clicks,
+                   round(CAST(count(CASE WHEN f.event_type = 'click' THEN f.value END) AS DOUBLE)
+                         / CAST(count(CASE WHEN epoch_us(f.ts) > epoch_us(o.ts) - 3600000000
+                                      THEN f.value END) AS DOUBLE), 6) AS click_rate
+            FROM events o LEFT JOIN events f
+              ON f.user_id = o.user_id
+             AND epoch_us(f.ts) > epoch_us(o.ts) - 86400000000
+             AND epoch_us(f.ts) <= epoch_us(o.ts)
+            GROUP BY o.event_id
         """,
         "gen_cutoff": f"""
             SELECT user_id,

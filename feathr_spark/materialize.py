@@ -73,6 +73,10 @@ class GenSpec:
     features: Sequence[SWAFeature]
     ts_format: str = "epoch"
     extra_inputs: Sequence[str] = field(default_factory=tuple)  # lineage only
+    # post-aggregation derived stage (reference evaluates derivations
+    # during generation too: offline/evaluator/DerivedFeatureGenStage.scala,
+    # driven from offline/generation/DataFrameFeatureGenerator.scala:44-175)
+    derived: Sequence = field(default_factory=tuple)  # [DerivedFeature]
 
 
 def _metric(f: SWAFeature):
@@ -177,6 +181,14 @@ def generate_features(
     for f in spec.features:
         if f.default is not None and f.group_by is None:
             out = out.withColumn(f.name, F.coalesce(F.col(f.name), F.lit(f.default)))
+
+    # derived features over the generated aggregates — row-level Catalyst
+    # expressions, zero extra shuffles (DerivedFeatureGenStage.scala applies
+    # them per generated DataFrame the same way)
+    if spec.derived:
+        from feathr_spark.operators.derived import apply_derived_in_order
+
+        out = apply_derived_in_order(out, spec.derived)
     return out
 
 

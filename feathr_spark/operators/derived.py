@@ -38,3 +38,28 @@ def apply_derived_features(
             raise TypeError(f"derivation {name} did not produce a Column")
         out = out.withColumn(name, col)
     return out
+
+
+def apply_derived_in_order(df: DataFrame,
+                           derived: Sequence[DerivedFeature]) -> DataFrame:
+    """Apply derivations in dependency order: a derivation whose declared
+    ``inputs`` include a not-yet-derived name waits for it (the
+    reference's DerivedFeatureEvaluator resolves the same DAG). Raises on
+    cycles / unresolvable inputs."""
+    out = df
+    remaining = list(derived)
+    applied: set = set()
+    while remaining:
+        progress = False
+        for d in list(remaining):
+            deps = set(d.inputs) if d.inputs else set()
+            if deps - set(out.columns) - applied:
+                continue
+            out = apply_derived_features(out, [(d.name, d.expr)])
+            applied.add(d.name)
+            remaining.remove(d)
+            progress = True
+        if not progress:
+            raise ValueError(f"circular/unresolvable derived features: "
+                             f"{[d.name for d in remaining]}")
+    return out

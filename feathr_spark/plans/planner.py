@@ -42,7 +42,7 @@ from feathr_spark.definitions import (
     SWAFeature,
 )
 from feathr_spark.operators.asof import asof_join
-from feathr_spark.operators.derived import apply_derived_features
+from feathr_spark.operators.derived import apply_derived_in_order
 from feathr_spark.operators.lookup import lookup_join
 from feathr_spark.operators.swa import content_uid_inputs, join_window_agg_features
 from feathr_spark.sources.batch import load_source
@@ -313,21 +313,7 @@ def join_features(
         out = out.drop("__lk_uid")
 
     # (5) derived features in dependency order
-    remaining = list(derived)
-    applied: set[str] = set()
-    while remaining:
-        progress = False
-        for d in list(remaining):
-            deps = set(d.inputs) if d.inputs else set()
-            if deps - set(out.columns) - applied:
-                continue
-            out = apply_derived_features(out, [(d.name, d.expr)])
-            applied.add(d.name)
-            remaining.remove(d)
-            progress = True
-        if not progress:
-            raise ValueError(f"circular/unresolvable derived features: "
-                             f"{[d.name for d in remaining]}")
+    out = apply_derived_in_order(out, derived)
 
     # (6) prune to requested features (+ observation columns)
     if obs_ts_col == "__now_ts":
