@@ -43,14 +43,111 @@ MEDIA_SCHEMA = T.StructType([
 Decoder = Callable[[bytes, dict], np.ndarray]
 
 
-def real_decoder(payload: bytes, meta: dict) -> np.ndarray:  # pragma: no cover
-    """Placeholder for a codec-backed decoder (PIL / libsndfile / ffmpeg).
+# ---------------------------------------------------------------------------
+# real decoders for stdlib-decodable formats (no codec library needed)
+# ---------------------------------------------------------------------------
 
-    Those libraries are not available in this environment; inject your
-    own ``Decoder`` in production.
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP (8-bit grayscale-palette or 24/32-bit
+    BGR) to a float32 grayscale (H, W) array in [0, 255].
+
+    Pure struct/numpy parse of the Windows BITMAPINFOHEADER layout —
+    needs no imaging library, so the multimodal decode path is provable
+    end-to-end in this container. Compressed BMPs (BI_RLE*) raise.
     """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    flip = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_bytes = ((width * bpp // 8) + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=row_bytes * height, offset=data_off)
+    rows = raw.reshape(height, row_bytes)
+    if bpp == 8:
+        gray = rows[:, :width].astype(np.float32)
+    else:
+        nch = bpp // 8
+        px = rows[:, : width * nch].reshape(height, width, nch).astype(np.float32)
+        # BMP stores BGR(A); ITU-R 601 luma
+        gray = 0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+    return gray[::-1] if flip else gray
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Encode a (H, W) array in [0, 255] as a 24-bit uncompressed BMP —
+    the inverse of :func:`decode_bmp`, used to synthesize real image
+    bytes for tests and benchmarks without external data."""
+    import struct
+
+    arr = np.clip(np.asarray(gray, dtype=np.float32), 0, 255).astype(np.uint8)
+    h, w = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = np.repeat(arr[::-1, :, None], 3, axis=2)  # bottom-up, B=G=R=gray
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = body.tobytes()
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM/PGM (P6/P5, maxval<=255) to float32 grayscale."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    nch = 3 if payload[:2] == b"P6" else 1
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=i)
+    if nch == 1:
+        return raw.reshape(h, w).astype(np.float32)
+    px = raw.reshape(h, w, 3).astype(np.float32)
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def real_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Format-sniffing decoder for the formats decodable without codec
+    libraries: uncompressed BMP and binary PPM/PGM. Anything else
+    (JPEG/PNG/audio/video) raises — inject a PIL/ffmpeg-backed
+    ``Decoder`` in production; this container has no codec libs."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "no media codec available in this environment; pass decoder= explicitly"
+        "payload is not BMP/PPM and no media codec is available in this "
+        "environment; pass decoder= explicitly"
     )
 
 
@@ -160,6 +257,63 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     n = F.coalesce(F.col("meta.n_frames"), F.lit(1))
     idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
     return media.withColumn("frame_idx", F.explode(idx))
+
+
+def image_stats(media: DataFrame, decoder: Optional[Decoder] = None,
+                batch_limit: int = 256) -> DataFrame:
+    """media -> (media_id, width, height, mean_pixel, std_pixel,
+    decode_error) by actually decoding each payload (default decoder
+    handles BMP/PPM natively). Same bounded-Arrow-batch contract as
+    :func:`extract_features`."""
+    dec = decoder or real_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                w, h, mu, sd, errs = [], [], [], [], []
+                for payload, meta in zip(chunk["payload"], chunk["meta"]):
+                    try:
+                        arr = np.atleast_2d(dec(
+                            bytes(payload) if payload is not None else b"",
+                            dict(meta) if meta is not None else {}))
+                        h.append(int(arr.shape[0])); w.append(int(arr.shape[1]))
+                        mu.append(float(arr.mean())); sd.append(float(arr.std()))
+                        errs.append(None)
+                    except Exception as e:  # noqa: BLE001 - error column by design
+                        w.append(None); h.append(None)
+                        mu.append(None); sd.append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
+                yield pd.DataFrame({
+                    "media_id": chunk["media_id"].to_numpy(),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "mean_pixel": pd.array(mu, dtype="float64"),
+                    "std_pixel": pd.array(sd, dtype="float64"),
+                    "decode_error": errs,
+                })
+
+    return media.mapInPandas(
+        run,
+        schema=("media_id long, width int, height int, mean_pixel double, "
+                "std_pixel double, decode_error string"),
+    )
+
+
+def make_bmp_media(spark, n: int = 32, seed: int = 7) -> DataFrame:
+    """Deterministic table of REAL image bytes: each row is a valid
+    24-bit BMP whose pixels derive from a seeded gradient+hash pattern,
+    so the default :func:`real_decoder` path is exercised end-to-end
+    with no external data or codec library."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + (i % 5) * 3, 3 + (i % 4) * 2
+        base = int.from_bytes(hashlib.sha256(f"{seed}:{i}".encode()).digest()[:4], "little")
+        yy, xx = np.mgrid[0:h, 0:w]
+        gray = ((yy * 17 + xx * 31 + base) % 256).astype(np.float32)
+        rows.append((i, "image", bytearray(encode_bmp(gray)),
+                     (w, h, None, None, "bmp")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
