@@ -899,6 +899,92 @@ def q_stream_sliding(spark, sf_dir):
         "user_id", F.unix_timestamp("window_start").alias("bucket_start"), "n", "v_sum")
 
 
+def q_stream_running(spark, sf_dir):
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    beyond the reference's row-only streaming path — see
+    StreamingFeatureGenerator.scala:44-129 for the per-batch online-state
+    shape it mirrors): per-user running state (n_events, value_sum,
+    latest_ts, latest_value) over the events stream, availableNow.
+    Deterministic input -> the final state per entity is a plain grouped
+    SQL aggregate the DuckDB oracle recomputes exactly (latest ties on
+    ts broken by max value, matching the operator's tie rule)."""
+    import tempfile
+    import uuid
+
+    from feathr_spark.streaming.ingest import stream_running_features
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events*")
+        # fractional epoch seconds == DuckDB epoch(ts) on the NTZ column
+        .withColumn("uts", F.col("ts").cast("timestamp").cast("double"))
+    )
+    run = stream_running_features(stream, "user_id", "uts", "value")
+    name = "q_stream_run_" + uuid.uuid4().hex[:8]
+    q = (
+        run.writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="feathr_stream_"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # update mode emits one row per key per micro-batch; n_events is
+    # monotone, so the max struct is the final state regardless of how
+    # the source split into batches
+    final = (
+        spark.table(name).groupBy("entity")
+        .agg(F.max(F.struct("n_events", "value_sum", "latest_ts", "latest_value")).alias("s"))
+        .select("entity", "s.*")
+    )
+    return final.select(
+        "entity", "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+        "latest_ts", "latest_value",
+    )
+
+
+def q_ann_recall_bounds(spark, sf_dir):
+    """Recall lower bounds for the seeded-Gaussian ANN variants (the two
+    rows-only queries): a deterministic clustered corpus (12 seeded
+    centers x 50 points) is synthesized in-query, recall of ann_topk_lsh
+    / ivf_topk against the exact brute-force top-k (the brute-force
+    kernel itself is oracle-verified in knn_bruteforce) is computed
+    engine-side, and each (algo, query) emits recall >= 0.8 as a
+    boolean. The oracle pins every bound TRUE, so any recall regression
+    in the LSH bucketing / IVF probing turns this row red."""
+    import numpy as np
+
+    from feathr_spark.operators.similarity import (ann_topk_lsh,
+                                                   brute_force_topk,
+                                                   ivf_topk)
+
+    rng = np.random.default_rng(1234)
+    dim, k = 32, 5
+    centers = rng.standard_normal((12, dim)).astype(np.float32) * 3.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, dim)).astype(np.float32) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q_src = [0, 75, 150, 325, 500]
+    queries = [vecs[i].tolist() for i in q_src]
+    exact = brute_force_topk(df, queries, k=k).select("query_id", "vec_id")
+    lsh = ann_topk_lsh(df, queries, dim=dim, k=k, n_bits=10, n_probe_bits=2)
+    ivf = ivf_topk(df, queries, k=k, n_centroids=12, n_probe=4)
+
+    def bound(approx, algo):
+        hits = (exact.join(approx.select("query_id", "vec_id"),
+                           ["query_id", "vec_id"])
+                .groupBy("query_id").agg((F.count("*") / k).alias("recall")))
+        base = exact.select("query_id").distinct()
+        # left join: a query with zero surviving candidates must emit
+        # FALSE (red row), not silently vanish
+        return (base.join(hits, "query_id", "left")
+                .select(F.lit(algo).alias("algo"), "query_id",
+                        (F.coalesce("recall", F.lit(0.0)) >= 0.8).alias("recall_ok")))
+
+    return bound(lsh, "lsh").unionAll(bound(ivf, "ivf"))
+
+
 def q_url_features(spark, sf_dir):
     """Structural URL features (protocol/host/registered-domain/path
     depth/query params) — documents carry no URL column, so the query
@@ -1319,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "stream_running": q_stream_running,
+        "ann_recall_bounds": q_ann_recall_bounds,
         "hocon_join": q_hocon_join,
         "gen_derived": q_gen_derived,
         "full_plan": q_full_plan,
@@ -2019,6 +2107,30 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n, round(sum(value), 4) AS v_sum
             FROM w WHERE t >= ws AND t < ws + 3600
             GROUP BY 1, 2
+        """,
+        "stream_running": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS entity, epoch(ts) AS uts, value
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), g AS (
+                SELECT entity, count(*) AS n_events,
+                       round(sum(value), 4) AS value_sum,
+                       max(uts) AS latest_ts
+                FROM e GROUP BY entity
+            )
+            SELECT g.entity, g.n_events, g.value_sum, g.latest_ts,
+                   max(e.value) AS latest_value
+            FROM g JOIN e ON e.entity = g.entity AND e.uts = g.latest_ts
+            GROUP BY 1, 2, 3, 4
+        """,
+        "ann_recall_bounds": """
+            SELECT algo, CAST(query_id AS BIGINT) AS query_id, recall_ok
+            FROM (VALUES
+                ('lsh', 0, TRUE), ('lsh', 1, TRUE), ('lsh', 2, TRUE),
+                ('lsh', 3, TRUE), ('lsh', 4, TRUE),
+                ('ivf', 0, TRUE), ('ivf', 1, TRUE), ('ivf', 2, TRUE),
+                ('ivf', 3, TRUE), ('ivf', 4, TRUE)
+            ) AS t(algo, query_id, recall_ok)
         """,
         "stream_hourly": """
             SELECT user_id,

@@ -193,7 +193,7 @@ def stream_running_features(
     ])
 
     def update(key_tuple, pdf_iter, state: GroupState):
-        n, s, lts, lval = state.get if state.exists else (0, 0.0, float("-inf"), None)
+        n, s, lts, lval = state.get if state.exists else (0, 0.0, None, None)
         for pdf in pdf_iter:
             vals = pd.to_numeric(pdf[value_col], errors="coerce")
             ts = pd.to_numeric(pdf[ts_col], errors="coerce")
@@ -201,9 +201,12 @@ def stream_running_features(
             if ok.any():
                 n += int(ok.sum())
                 s += float(vals[ok].sum())
-                i = ts[ok].idxmax()
-                if float(ts[i]) >= lts:
-                    lts, lval = float(ts[i]), float(vals[i])
+                # deterministic latest: ties on ts broken by max value, so
+                # the result is independent of batch split / row order
+                tmax = float(ts[ok].max())
+                vmax = float(vals[ok][ts[ok] == tmax].max())
+                if lts is None or (tmax, vmax) > (lts, lval):
+                    lts, lval = tmax, vmax
         state.update((n, s, lts, lval))
         yield pd.DataFrame([{
             "entity": str(key_tuple[0]), "n_events": n, "value_sum": s,
