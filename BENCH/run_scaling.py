@@ -29,7 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
-        mode: str = "threads", prep_only: bool = False) -> None:
+        mode: str = "threads", prep_only: bool = False,
+        pipeline: str = "flagship") -> None:
     """Subprocess entry: measured steady-state runs in a fresh JVM.
 
     ``warmup`` untimed iterations first — a fresh session pays ~20s of
@@ -92,6 +93,9 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
                           "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "1073741824",
                           "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL": "system",
                       })
+    if pipeline == "dedup":
+        _dedup_job(spark, cpus, sf, warmup, iters, prep_only)
+        return
     fact_raw, obs = corpus(spark, sf=sf)
     # Input setup, excluded from the timer: the corpus is written ONCE as
     # an ENTITY-HASH-BUCKETED, timestamp-sorted parquet table — the exact
@@ -193,18 +197,39 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
         )
         out.write.format("noop").mode("overwrite").save()
 
+    wall, records = _run_timed(spark, pipeline, warmup, iters)
+    print(json.dumps({
+        "cpus": cpus, "sf": sf, "wall_s": round(wall, 2),
+        "iterations": records, "warmup_iters": warmup,
+        "obs_rows": n_obs, "fact_rows": n_fact,
+        "rows_per_sec": round(n_obs / wall, 1),
+    }))
+    spark.stop()
+    # the shared input table is left in place for the other parallelism
+    # level / reruns; remove the warehouse dir manually when done
+
+
+def _run_timed(spark, pipeline, warmup: int, iters: int):
+    """Shared measurement discipline: untimed warmups, then timed
+    iterations with per-iteration steal%/sys% screening; wall = min over
+    clean iterations.
+
+    The sandbox host is time-shared: co-tenant interference (steal)
+    varies over time and has been measured inflating identical runs
+    4x. Each iteration therefore records its own steal share; polluted
+    iterations (steal > 12% of machine capacity) are discarded and
+    retried, and the reported wall is the min over clean iterations —
+    the closest estimate of the job's true cost on quiet hardware.
+    """
+    import time
+
     def cpustat():
         f = open("/proc/stat").readline().split()[1:]
         return [int(x) for x in f]
 
     for _ in range(warmup):
         pipeline()
-    # The sandbox host is time-shared: co-tenant interference (steal)
-    # varies over time and has been measured inflating identical runs
-    # 4x. Each iteration therefore records its own steal share; polluted
-    # iterations (steal > 12% of machine capacity) are discarded and
-    # retried, and the reported wall is the min over clean iterations —
-    # the closest estimate of the job's true cost on quiet hardware.
+
     def settle():
         # Untimed between-iteration hygiene: ContextCleaner frees the
         # previous iteration's shuffle files only after the driver GC
@@ -243,16 +268,51 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
             walls.append(w)
     if not walls:  # every attempt polluted -- report best effort
         walls = [r["wall_s"] for r in records]
-    wall = min(walls)
+    return min(walls), records
+
+
+def _dedup_job(spark, cpus: int, sf: float, warmup: int, iters: int,
+               prep_only: bool) -> None:
+    """MinHash-LSH dedup scaling leg: signatures -> banded LSH candidate
+    pairs -> verified edges -> connected-components clustering, over the
+    planted-duplicate synthetic corpus (datagen.documents — seed-fixed,
+    partition-count-independent). The other 100 TB workhorse next to the
+    SWA/as-of flagship; edge volume at sf>=4 exceeds the driver
+    union-find threshold, so the measured path is the DISTRIBUTED
+    fixpoint CC — the one that must scale."""
+    import feathr_spark
+    from feathr_spark.datagen import documents
+    from feathr_spark.operators.dedup import minhash_lsh_dedup
+
+    wh = os.environ.get("FEATHR_BENCH_WAREHOUSE", "/dev/shm/feathr-bench-wh")
+    codec = os.environ.get("FEATHR_BENCH_CODEC", "zstd")
+    spark.conf.set("spark.sql.parquet.compression.codec", codec)
+    n_docs = int(250_000 * sf)
+    path = f"{wh}/docs_corpus_{codec}_sf{sf}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        # one-time synthesis, excluded from the timer; 128 files so both
+        # parallelism levels read identical bytes with full task fan-out
+        documents(spark, n_docs, num_partitions=128).write.mode("overwrite").parquet(path)
+    if prep_only:
+        print(json.dumps({"prep": path, "rows": spark.read.parquet(path).count()}))
+        spark.stop()
+        return
+    docs = spark.read.parquet(path)
+
+    def pipeline():
+        out = minhash_lsh_dedup(docs, num_hashes=64, bands=16,
+                                shingle_n=3, threshold=0.7, verify="estimate")
+        out.write.format("noop").mode("overwrite").save()
+        feathr_spark.release_caches()
+
+    wall, records = _run_timed(spark, pipeline, warmup, iters)
     print(json.dumps({
         "cpus": cpus, "sf": sf, "wall_s": round(wall, 2),
         "iterations": records, "warmup_iters": warmup,
-        "obs_rows": n_obs, "fact_rows": n_fact,
-        "rows_per_sec": round(n_obs / wall, 1),
+        "obs_rows": n_docs, "fact_rows": n_docs,
+        "rows_per_sec": round(n_docs / wall, 1),
     }))
     spark.stop()
-    # the shared input table is left in place for the other parallelism
-    # level / reruns; remove the warehouse dir manually when done
 
 
 def main() -> None:
@@ -265,6 +325,11 @@ def main() -> None:
     ap.add_argument("--mode", choices=["threads", "exec"], default="threads",
                     help="threads: local[N]. exec: local-cluster[N/4,4,mem] — "
                          "real executor JVMs, the N->4N executor protocol")
+    ap.add_argument("--pipeline", choices=["flagship", "dedup"],
+                    default="flagship",
+                    help="flagship: SWA battery + as-of lookup. dedup: "
+                         "minhash-LSH near-dup clustering (distributed "
+                         "fixpoint CC) over the planted-duplicate corpus")
     ap.add_argument("--job", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--prep", action="store_true",
                     help="only synthesize + write the shared bucketed input "
@@ -274,12 +339,12 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.prep:
-        job(32, args.sf, prep_only=True)
+        job(32, args.sf, prep_only=True, pipeline=args.pipeline)
         return
 
     if args.job is not None:
         job(args.job, args.sf, warmup=args.warmup, iters=args.iters,
-            mode=args.mode)
+            mode=args.mode, pipeline=args.pipeline)
         return
 
     # Memory-retention env for both JVM and Python workers: in this
@@ -302,7 +367,7 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__),
              "--job", str(cpus), "--sf", str(args.sf),
              "--warmup", str(args.warmup), "--iters", str(args.iters),
-             "--mode", args.mode],
+             "--mode", args.mode, "--pipeline", args.pipeline],
             capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
         )
         json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
@@ -344,14 +409,33 @@ def main() -> None:
         level_desc = "local[N] executor-thread counts."
         col = "local[N]"
         labels = {r["cpus"]: str(r["cpus"]) for r in results}
-    md = [
-        "# BENCH/BASELINE — scaling-efficiency evidence (north_rule)",
-        "",
-        "Protocol: identical flagship job (SWA 9-feature battery + as-of token",
-        f"lookup, salted cogroup strategy) on the identical corpus (sf={args.sf},",
-        f"{lo['fact_rows']:,} fact rows / {lo['obs_rows']:,} obs rows, zipf-skewed",
-        "doc_id; zstd-parquet, doc_id-hash-bucketed ×128, ts-sorted — the north",
-        "star's Iceberg-style layout), run in fresh JVMs at two cluster sizes:",
+    unit = "docs" if args.pipeline == "dedup" else "obs rows"
+    if args.pipeline == "dedup":
+        if args.out == os.path.join(REPO, "BENCH", "BASELINE.md"):
+            args.out = os.path.join(REPO, "BENCH", "BASELINE_dedup.md")
+        job_lines = [
+            "## MinHash-LSH dedup scaling",
+            "",
+            "Protocol: identical dedup job (64-perm MinHash signatures -> 16-band",
+            "LSH candidate pairs -> verified edges -> connected-components",
+            f"clustering) on the identical corpus (sf={args.sf},",
+            f"{lo['obs_rows']:,} documents with planted near-duplicate clusters,",
+            "datagen.documents — seed-fixed, partition-count-independent; edge",
+            "volume exceeds the driver union-find threshold, so the measured path",
+            "is the DISTRIBUTED fixpoint CC), run in fresh JVMs at two cluster",
+            "sizes:",
+        ]
+    else:
+        job_lines = [
+            "# BENCH/BASELINE — scaling-efficiency evidence (north_rule)",
+            "",
+            "Protocol: identical flagship job (SWA 9-feature battery + as-of token",
+            f"lookup, salted cogroup strategy) on the identical corpus (sf={args.sf},",
+            f"{lo['fact_rows']:,} fact rows / {lo['obs_rows']:,} obs rows, zipf-skewed",
+            "doc_id; zstd-parquet, doc_id-hash-bucketed ×128, ts-sorted — the north",
+            "star's Iceberg-style layout), run in fresh JVMs at two cluster sizes:",
+        ]
+    md = job_lines + [
         level_desc,
         "Input synthesis + table write excluded from the timer; one untimed",
         "warmup iteration absorbs one-time session cost (Python worker spawn +",
@@ -361,7 +445,7 @@ def main() -> None:
         "time-shared; min rejects interference bursts; per-iteration steal%/",
         "sys% recorded and polluted iterations discarded).",
         "",
-        f"| {col} | wall (s) | throughput (obs rows/s) |",
+        f"| {col} | wall (s) | throughput ({unit}/s) |",
         "| --- | --- | --- |",
     ]
     for r in results:
@@ -391,7 +475,7 @@ def main() -> None:
         "",
         f"Reproduce: `python BENCH/run_scaling.py --sf {args.sf} "
         f"--cpus {hi['cpus']},{lo['cpus']} --iters {args.iters} "
-        f"--mode {args.mode}`",
+        f"--mode {args.mode} --pipeline {args.pipeline}`",
     ]
     with open(args.out, "w") as fh:
         fh.write("\n".join(md) + "\n")

@@ -107,6 +107,59 @@ def observations(
     )
 
 
+def documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    dup_frac: float = 0.2,
+    n_words_min: int = 40,
+    n_words_max: int = 120,
+    vocab: int = 30_000,
+    mutate_every: int = 17,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic text corpus with PLANTED near-duplicate clusters, for
+    dedup benchmarks: ``dup_frac`` of the docs copy a parent drawn from
+    the first 10% of ids, mutating ~1/``mutate_every`` of the words —
+    word-level edit rate ~6% keeps 3-shingle Jaccard well above the 0.7
+    near-dup threshold, so every dup joins its parent's cluster.
+
+    Fully distributed (``spark.range`` + codegen expressions, no driver
+    arrays, no Python UDFs); seed-fixed and partition-count-independent
+    like the rest of this module, so every parallelism level of a
+    scaling run reads literally the same rows.
+    """
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    df = spark.range(0, n_docs, 1, parts)
+    is_dup = _u(F.col("id"), 20, seed) < dup_frac
+    n_parents = max(n_docs // 10, 1)
+    parent = F.when(is_dup, F.pmod(F.xxhash64("id", F.lit(21), F.lit(seed)),
+                                   F.lit(n_parents))).otherwise(F.col("id"))
+    n_words = (F.pmod(F.xxhash64(parent, F.lit(22), F.lit(seed)),
+                      F.lit(n_words_max - n_words_min + 1)) + n_words_min).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.when(
+            is_dup & (F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed + 23)),
+                             F.lit(mutate_every)) == 0),
+            F.concat(F.lit("w"), F.pmod(
+                F.xxhash64(F.col("id"), i, F.lit(seed + 24)), F.lit(vocab)).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(
+                F.xxhash64(parent, i, F.lit(seed + 25)), F.lit(vocab)).cast("string")),
+        ),
+    )
+    src = F.element_at(
+        F.array(*[F.lit(s) for s in SOURCES]),
+        (F.pmod(F.xxhash64("id", F.lit(26), F.lit(seed)), F.lit(len(SOURCES))) + 1).cast("int"),
+    )
+    return df.select(
+        F.concat(F.lit("doc_"), F.col("id").cast("string")).alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+        src.alias("source"),
+    )
+
+
 def corpus(spark: SparkSession, sf: float = 0.01, seed: int = 42):
     """(sequences, observations) pair at a TESTDATA-like scale factor:
     sf=0.01 → 60k fact rows / 15k obs rows."""

@@ -205,3 +205,23 @@ def test_minhash_dedup_broadcast_vs_distributed_parity(spark, near_dup_corpus):
             for r in minhash_lsh_dedup(
                 df, threshold=0.5, cc_broadcast_threshold=0).collect()}
     assert fast == dist
+
+
+def test_datagen_documents_planted_dups(spark):
+    """datagen.documents: partition-count-independent, deterministic,
+    and its planted near-duplicates actually cluster under the
+    production minhash_lsh_dedup path (the dedup scaling-bench input)."""
+    from feathr_spark.datagen import documents
+
+    a = documents(spark, 600, num_partitions=4).orderBy("doc_id").collect()
+    b = documents(spark, 600, num_partitions=13).orderBy("doc_id").collect()
+    assert a == b  # rows identical regardless of parallelism
+
+    df = documents(spark, 600, num_partitions=8)
+    out = minhash_lsh_dedup(df, num_hashes=64, bands=16, shingle_n=3,
+                            threshold=0.7, verify="estimate")
+    pdf = out.toPandas()
+    n_clustered = (pdf["cluster_rep"] != pdf["doc_id"]).sum()
+    # dup_frac=0.2 with ~6% word mutation: the bulk of the 120 planted
+    # dups must land in their parent's cluster
+    assert n_clustered >= 60
