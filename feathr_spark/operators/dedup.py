@@ -272,8 +272,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     family chained over many hops would otherwise silently split
     (the round-1 verdict's defect). ``max_rounds`` is a runaway guard
     only; hitting it raises rather than returning split clusters.
+
+    Scale discipline: the fixpoint iterates over EDGE-TOUCHED nodes
+    only — a node with no incident edge can never change its label, so
+    carrying the whole corpus through every round's joins would multiply
+    per-round shuffle volume by corpus/touched for no information;
+    untouched nodes get identity labels in one final left join. The
+    change count is read off the round's own output (``__prev`` carried
+    through the round), not an extra full-label self-join.
     """
-    labels = nodes.select(F.col("id"), F.col("id").alias("rep")).persist()
+    touched = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    labels = touched.select("id", F.col("id").alias("rep")).persist()
     labels.count()
     for _ in range(max_rounds):
         neighbor_min = (
@@ -283,28 +296,30 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         )
         hop = (
             labels.join(neighbor_min, on="id", how="left")
-            .select("id", F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"))
+            .select("id", F.col("rep").alias("__prev"),
+                    F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"))
         )
         # pointer jump: rep <- labels[rep].rep (path halving)
         jump_src = labels.select(F.col("id").alias("__jid"), F.col("rep").alias("__jrep"))
         new_labels = (
             hop.join(jump_src, hop.rep == jump_src.__jid, "left")
-            .select("id", F.least(F.col("rep"), F.coalesce("__jrep", "rep")).alias("rep"))
+            .select("id", "__prev",
+                    F.least(F.col("rep"), F.coalesce("__jrep", "rep")).alias("rep"))
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("rep", "__prev"), on="id")
-            .where(F.col("rep") != F.col("__prev")).count()
-        )
+        changed = new_labels.where(F.col("rep") != F.col("__prev")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("id", "rep")
         if changed == 0:
-            # the returned frame IS the persisted label table (dropping
-            # the cache would replay the whole fixpoint) — register it so
-            # feathr_spark.release_caches() can free it once the caller
-            # has materialized downstream results
-            track_cache(labels)
-            return labels
+            # the label table under the returned frame IS this persisted
+            # frame (dropping the cache would replay the whole fixpoint) —
+            # register it so feathr_spark.release_caches() can free it
+            # once the caller has materialized downstream results
+            track_cache(new_labels)
+            return (
+                nodes.join(labels, on="id", how="left")
+                .select("id", F.coalesce("rep", "id").alias("rep"))
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds")
 
