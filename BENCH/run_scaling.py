@@ -287,16 +287,6 @@ def _dedup_job(spark, cpus: int, sf: float, warmup: int, iters: int,
     wh = os.environ.get("FEATHR_BENCH_WAREHOUSE", "/dev/shm/feathr-bench-wh")
     codec = os.environ.get("FEATHR_BENCH_CODEC", "zstd")
     spark.conf.set("spark.sql.parquet.compression.codec", codec)
-    # Post-shuffle partitioning sized to the DATA, not the core count:
-    # AQE's parallelismFirst coalesces every shuffle down to
-    # defaultParallelism — one task wave per stage, so a single straggler
-    # partition bounds the stage wall and the plan CHANGES with cluster
-    # size. Data-sized ~8 MB targets give the banding / pair-join / CC
-    # shuffles identical multi-wave partitioning at N and 4N executors
-    # (measured: one-wave coalescing cost ~10 points of scaling
-    # efficiency on the 2M-doc corpus).
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     n_docs = int(250_000 * sf)
     path = f"{wh}/docs_corpus_{codec}_sf{sf}"
     if not os.path.exists(f"{path}/_SUCCESS"):
