@@ -300,8 +300,12 @@ def _dedup_job(spark, cpus: int, sf: float, warmup: int, iters: int,
     docs = spark.read.parquet(path)
 
     def pipeline():
+        # cc_broadcast_threshold=0 pins the DISTRIBUTED fixpoint CC (the
+        # path that must scale — the driver union-find fast path is a
+        # small-edge-set shortcut the protocol must not measure)
         out = minhash_lsh_dedup(docs, num_hashes=64, bands=16,
-                                shingle_n=3, threshold=0.7, verify="estimate")
+                                shingle_n=3, threshold=0.7, verify="estimate",
+                                cc_broadcast_threshold=0)
         out.write.format("noop").mode("overwrite").save()
         feathr_spark.release_caches()
 
@@ -361,6 +365,19 @@ def main() -> None:
     # input lives in the bucketed warehouse table, not a heap cache:
     # a moderate pre-touched heap leaves tmpfs room for table + shuffle
     env.setdefault("FEATHR_SPARK_DRIVER_MEM", "32g")
+    if args.pipeline == "dedup":
+        # Right-size heaps to the job: the dedup leg's working set
+        # (fingerprint cache + banding shuffles at sf4) is well under
+        # 2 GB/executor, and AlwaysPreTouch-ing 4x9 GB executors plus a
+        # 32 GB driver faults ~68 GB of fresh pages serially through the
+        # sandbox host (~0.8 s/GB) — intermittently exceeding executor
+        # registration timeouts, which kills/relaunches executors whose
+        # freed pages must fault again (observed: launch storms to
+        # executor id ~900, then app failure). On a real cluster the
+        # analogue is simply not over-provisioning executor memory 5x.
+        env.setdefault("FEATHR_BENCH_EXEC_MEM_MB", "4096")
+        env["FEATHR_SPARK_DRIVER_MEM"] = os.environ.get(
+            "FEATHR_BENCH_DRIVER_MEM", "12g")
     results = []
     for cpus in [int(c) for c in args.cpus.split(",")]:
         proc = subprocess.run(
@@ -372,7 +389,7 @@ def main() -> None:
         )
         json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         if not json_lines:
-            sys.stderr.write(proc.stderr[-4000:])
+            sys.stderr.write(proc.stderr[-20000:])
             raise RuntimeError(
                 f"scaling job local[{cpus}] produced no result "
                 f"(rc={proc.returncode}) — stderr tail above")

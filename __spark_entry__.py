@@ -985,6 +985,59 @@ def q_ann_recall_bounds(spark, sf_dir):
     return bound(lsh, "lsh").unionAll(bound(ivf, "ivf"))
 
 
+def q_image_stats(spark, sf_dir):
+    """Multimodal decode end-to-end with a HARD integer oracle: the 64
+    smallest doc_ids get a real 24-bit BMP payload synthesized in an
+    Arrow batch (size derived from the rank: w = 4 + 3*(i%5),
+    h = 3 + 2*(i%4)), the ``image_stats`` mapInPandas operator
+    (multimodal/binaryops.py, reference analogue: the opaque-binary
+    feature-extraction pattern) DECODES each payload — width/height come
+    out of the BITMAPINFOHEADER parse, not the generator — and the
+    DuckDB oracle recomputes width, height, and the exact byte size from
+    the BMP layout's closed form (54-byte header + height × (3·width
+    padded to 4)) in pure integer SQL. Any drift in the encoder layout,
+    the decoder parse, or the Arrow plumbing turns the row red."""
+    from pyspark.sql import Window
+
+    from feathr_spark.multimodal.binaryops import encode_bmp, image_stats
+
+    d = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .orderBy("doc_id").limit(64)
+        .withColumn("i", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["i"]:
+                w, h = 4 + (int(i) % 5) * 3, 3 + (int(i) % 4) * 2
+                yy, xx = np.mgrid[0:h, 0:w]
+                gray = ((yy * 17 + xx * 31 + int(i)) % 256).astype(np.float32)
+                payloads.append(encode_bmp(gray))
+            yield pd.DataFrame({
+                "media_id": pdf["i"], "doc_id": pdf["doc_id"],
+                "payload": payloads, "meta": [None] * len(pdf),
+            })
+
+    media = d.mapInPandas(
+        gen,
+        schema=("media_id long, doc_id long, payload binary, "
+                "meta struct<width:int,height:int,sample_rate:int,"
+                "n_frames:int,codec:string>"),
+    )
+    sizes = media.select("media_id", "doc_id",
+                         F.octet_length("payload").cast("long").alias("n_bytes"))
+    stats = image_stats(media)
+    return (
+        stats.join(sizes, "media_id")
+        .select("doc_id", "width", "height", "n_bytes")
+    )
+
+
 def q_url_features(spark, sf_dir):
     """Structural URL features (protocol/host/registered-domain/path
     depth/query params) — documents carry no URL column, so the query
@@ -1409,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_bounds": q_ann_recall_bounds,
         "hocon_join": q_hocon_join,
         "gen_derived": q_gen_derived,
+        "image_stats": q_image_stats,
         "full_plan": q_full_plan,
         "lookup_elementwise": q_lookup_elementwise,
         "swa_sim_delay": q_swa_sim_delay,
@@ -1971,6 +2025,20 @@ def oracle_sql() -> dict[str, str]:
                    round(s / c, 6) AS v_avg_3d,
                    round((s / c) * (s / c), 4) AS v_avg_sq
             FROM g
+        """,
+        "image_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS i
+                FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
+            )
+            SELECT doc_id,
+                   CAST(4 + (i % 5) * 3 AS INT) AS width,
+                   CAST(3 + (i % 4) * 2 AS INT) AS height,
+                   CAST(54 + (3 + (i % 4) * 2)
+                           * (((4 + (i % 5) * 3) * 3 + 3) // 4 * 4)
+                        AS BIGINT) AS n_bytes
+            FROM d
         """,
         "hocon_join": """
             SELECT o.event_id,

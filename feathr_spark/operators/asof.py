@@ -246,8 +246,15 @@ def _asof_prune(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
     slim = _asof_union(obs, fact_slim, n_keys, [], delay_us, tol_us,
                        emit_match_ts=True).drop("__row")
     # the returned frame is lazy over this cache; registered so
-    # feathr_spark.release_caches() frees it after the caller materializes
+    # feathr_spark.release_caches() frees it after the caller materializes.
+    # count() builds the cache BEFORE the consuming query runs: slim is
+    # scanned by two subtrees (the pairs semi-join side and the final
+    # join-back), and AQE launches both map stages concurrently — against
+    # a lazy persist each would recompute the full as-of sort instead of
+    # reading InMemoryTableScan (the same race measured at 2-4x redundant
+    # kernel work in minhash_lsh_dedup).
     slim = track_cache(slim.persist(StorageLevel.MEMORY_AND_DISK))
+    slim.count()
     pairs = (slim.where(F.col("__match_ts").isNotNull())
              .select(*kcols, F.col("__match_ts").alias("__ts"))
              .dropDuplicates())

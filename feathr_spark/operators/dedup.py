@@ -301,11 +301,25 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         )
         # pointer jump: rep <- labels[rep].rep (path halving)
         jump_src = labels.select(F.col("id").alias("__jid"), F.col("rep").alias("__jrep"))
+        # localCheckpoint: TRUNCATE the logical plan each round. Every
+        # round references `labels` three times (neighbor-min join, hop,
+        # pointer jump), so without truncation the plan tree grows
+        # ~3^rounds copies of the whole upstream DAG — execution still
+        # reads the cache, but Catalyst re-analyzes, AQE re-plans, and
+        # the event-log listener stringifies the full tree every round:
+        # measured driver stalls and a 12 GB-driver OutOfMemoryError at
+        # 1M docs. eager=True materializes the round (it doubles as the
+        # persist; the change count below then reads the stored blocks).
+        # On a real cluster, prefer sc.setCheckpointDir + .checkpoint()
+        # every few rounds if executor loss must be survivable
+        # mid-fixpoint; localCheckpoint keeps blocks executor-local (a
+        # lost executor fails the job, which simply reruns — labels are
+        # deterministic).
         new_labels = (
             hop.join(jump_src, hop.rep == jump_src.__jid, "left")
             .select("id", "__prev",
                     F.least(F.col("rep"), F.coalesce("__jrep", "rep")).alias("rep"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("rep") != F.col("__prev")).count()
         labels.unpersist()
@@ -370,14 +384,26 @@ def minhash_lsh_dedup(
     fp = None
     if verify == "exact":
         fp = fingerprints(df, text_col, id_col, num_hashes, shingle_n).persist()
+        fp.count()  # materialize BEFORE fan-out — see note below
         verified = ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n, threshold, bands, num_hashes, fp=fp
         ).select("id_a", "id_b")
     else:
         rows = num_hashes // bands
         # signatures feed banding + both pair-attach joins: persist one copy
+        # and MATERIALIZE it before the consuming query runs. persist()
+        # alone is lazy, and AQE launches the three consumer map stages
+        # (banding, sig_a attach, sig_b attach) concurrently at job start —
+        # none finds populated cache blocks, so each recomputes the full
+        # MinHash Arrow kernel from the raw text (measured: the fingerprint
+        # stage ran 3-4x concurrently, ~2/3 of the whole dedup wall, and
+        # the redundancy is timing-dependent so it differs across cluster
+        # sizes — both slow AND unscalable). One count() builds the cache
+        # once; every consumer then reads InMemoryTableScan. At 100 TB the
+        # same move is writing the fingerprint table to storage once.
         fp = minhash_signature(df, text_col, num_hashes, shingle_n,
                                id_col=id_col).select(id_col, "minhash").persist()
+        fp.count()
         pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, rows)
         verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
             .select("id_a", "id_b")
@@ -467,8 +493,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     both verify-join sides), so it is persisted rather than recomputed
     per subtree — at corpus scale this is the fingerprint table a
     pipeline materializes to storage once anyway. Pass a precomputed
-    (already persisted) ``fp`` to share it with other stages AND let the
-    caller own the unpersist; when this function persists it internally
+    (persisted AND materialized — run one action on it first, or the
+    concurrent consumer stages race the lazy cache and each recompute
+    the fingerprint kernels) ``fp`` to share it with other stages AND
+    let the caller own the unpersist; when this function persists it internally
     the cache is registered with :func:`feathr_spark.session.track_cache`
     — call ``feathr_spark.release_caches()`` once the returned frame has
     been materialized."""
@@ -476,6 +504,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     if own_fp:
         fp = track_cache(
             fingerprints(df, text_col, id_col, num_hashes, shingle_n).persist())
+        fp.count()  # build the cache once BEFORE the three consumer
+        # subtrees run — concurrent AQE stages don't wait on a lazy
+        # persist and would each recompute the fingerprint kernel
     pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, num_hashes // bands)
     return _exact_jaccard_over(pairs, fp, id_col, threshold)
 
@@ -519,6 +550,9 @@ def simhash_verified_pairs(
     this is the fingerprint table you'd materialize to storage once."""
     fp = track_cache(fingerprints(df, text_col, id_col, num_hashes=64,
                                   shingle_n=shingle_n, include_simhash=True).persist())
+    fp.count()  # materialize once: the banding build+probe scans, both
+    # MinHash-screen attaches, and both exact-verify attaches (6 subtree
+    # scans) otherwise race the lazy cache and recompute the kernels
     cand = simhash_near_dup_pairs(fp, "simhash", id_col, max_hamming).select("id_a", "id_b")
     if screen_margin is not None:
         est_pairs = (
