@@ -456,6 +456,30 @@ def q_minhash_clusters(spark, sf_dir):
                              verify="exact")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Append-only-corpus dedup: even doc_ids play the already-ingested
+    corpus (their fingerprint table is materialized first — the only
+    thing the incremental job reads for them), odd doc_ids the incoming
+    batch. With exact verify the kept/dropped decisions depend only on
+    the text, so the DuckDB oracle recomputes them: new x new closure
+    (recursive CTE) for cluster reps, any >=threshold cross pair
+    anchors the whole component to the corpus (transitive: a chain
+    new~new~corpus drops both new docs)."""
+    from feathr_spark.operators.dedup import (fingerprints,
+                                              minhash_incremental_dedup)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    fp = fingerprints(corpus).persist()
+    fp.count()
+    out = minhash_incremental_dedup(new, fp, threshold=0.7, verify="exact")
+    return out.select(
+        "doc_id", "cluster_rep",
+        F.col("dup_of_corpus").cast("int").alias("dup_of_corpus"),
+        F.col("keep").cast("int").alias("keep"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """LSH candidate pairs verified by exact shingle-set Jaccard —
     the banded-LSH path's output is oracle-checkable because the
@@ -1463,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hocon_join": q_hocon_join,
         "gen_derived": q_gen_derived,
         "image_stats": q_image_stats,
+        "incremental_dedup": q_incremental_dedup,
         "full_plan": q_full_plan,
         "lookup_elementwise": q_lookup_elementwise,
         "swa_sim_delay": q_swa_sim_delay,
@@ -2345,6 +2370,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ann_ivf: rows-only (centroid fit is sample/seed-dependent);
         # exact parity via knn_bruteforce, recall asserted in pytest
+        "incremental_dedup": f"""
+            WITH RECURSIVE {_SHINGLE_JACCARD_CTE},
+            nd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+            nn(ia, ib) AS (
+                SELECT id_a, id_b FROM jp
+                WHERE j >= 0.7 AND id_a % 2 = 1 AND id_b % 2 = 1
+                UNION ALL
+                SELECT id_b, id_a FROM jp
+                WHERE j >= 0.7 AND id_a % 2 = 1 AND id_b % 2 = 1
+            ),
+            crossed AS (
+                SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id
+                FROM jp WHERE j >= 0.7 AND (id_a % 2) <> (id_b % 2)
+            ),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM nd
+                UNION
+                SELECT r.src, e.ib FROM reach r JOIN nn e ON e.ia = r.dst
+            ),
+            comp AS (
+                SELECT src AS doc_id, min(dst) AS cluster_rep
+                FROM reach GROUP BY src
+            ),
+            anch AS (
+                SELECT DISTINCT c2.cluster_rep
+                FROM comp c2 JOIN crossed x ON x.id = c2.doc_id
+            )
+            SELECT c.doc_id, c.cluster_rep,
+                   CAST(a.cluster_rep IS NOT NULL AS INT) AS dup_of_corpus,
+                   CAST((a.cluster_rep IS NULL AND c.doc_id = c.cluster_rep)
+                        AS INT) AS keep
+            FROM comp c LEFT JOIN anch a ON a.cluster_rep = c.cluster_rep
+        """,
         "minhash_pairs": _JACCARD_PAIRS_ORACLE,
         "simhash_pairs": _JACCARD_PAIRS_ORACLE,
         "minhash_clusters": f"""

@@ -10,6 +10,9 @@
   candidate pairs (the verifier both LSH paths share)
 - embedding near-dup: random-hyperplane LSH over an embedding column +
   cosine verification (see similarity.py for the shared primitives)
+- minhash_incremental_dedup: dedup a new batch against a materialized
+  corpus fingerprint table — O(batch) signature work, never corpus x
+  corpus (the append-only-corpus production loop)
 
 Scale notes: every stage is a shuffle on a bounded key (band hash /
 bucket) — no cross join ever materializes. Candidate verification
@@ -408,14 +411,28 @@ def minhash_lsh_dedup(
         verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
             .select("id_a", "id_b")
     verified = verified.persist()  # reused: count + (collect | rounds)
-    n_edges = verified.count()
+    verified.count()
     fp.unpersist()  # verified is materialized; fp no longer read
     nodes = df.select(F.col(id_col).alias("id"))
+    labels = _cluster_labels(verified, nodes, cc_broadcast_threshold,
+                             max_cc_rounds)
+    return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
+
+
+def _cluster_labels(verified: DataFrame, nodes: DataFrame,
+                    cc_broadcast_threshold: int, max_cc_rounds: int) -> DataFrame:
+    """(id, rep) component labels over a PERSISTED+MATERIALIZED verified
+    edge frame (columns id_a, id_b) for every row of ``nodes`` (column
+    id; untouched nodes label themselves). Small edge sets are solved by
+    a driver union-find (Arrow collect of two flat id columns) and joined
+    back broadcast; larger ones run the distributed fixpoint. Owns the
+    unpersist of ``verified``."""
+    n_edges = verified.count()
     if n_edges <= cc_broadcast_threshold:
         pdf = verified.select("id_a", "id_b").toPandas()
         verified.unpersist()
         mapping = _unionfind_labels(zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()))
-        spark = df.sparkSession
+        spark = nodes.sparkSession
         if mapping:
             id_type = nodes.schema["id"].dataType
             schema = T.StructType([T.StructField("id", id_type),
@@ -434,7 +451,7 @@ def minhash_lsh_dedup(
         labels = connected_components(edges, nodes, max_rounds=max_cc_rounds)
         edges.unpersist()      # labels is persisted+materialized by the loop
         verified.unpersist()
-    return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
+    return labels
 
 
 def _unionfind_labels(edge_iter) -> dict:
@@ -777,3 +794,152 @@ def _simhash_pairs_multiprobe(df: DataFrame, sim_col: str, id_col: str,
         .withColumn("hamming", hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (append-only corpus)
+# ---------------------------------------------------------------------------
+
+
+def minhash_incremental_dedup(
+    new_docs: DataFrame,
+    existing_fp: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    verify: str = "estimate",
+    max_bucket: int = 1000,
+    cc_broadcast_threshold: int = 200_000,
+    max_cc_rounds: int = 50,
+) -> DataFrame:
+    """Dedup a NEW batch against an append-only corpus WITHOUT
+    recomputing the corpus: signatures are computed for the new batch
+    only; the existing corpus contributes its materialized fingerprint
+    table (the one :func:`fingerprints` / :func:`minhash_signature`
+    builds and a 100 TB pipeline writes to storage once — re-banding a
+    stored signature is ``bands`` xxhash64 calls per row, no text scan).
+
+    Reference analogue: the reference's incremental-aggregation snapshot
+    ⊕ delta pattern (feathr-impl offline/generation
+    IncrementalAggSnapshotLoader.scala) applied to corpus curation —
+    process only the delta, reuse the materialized state.
+
+    ``existing_fp`` needs ``(id_col, minhash)`` — plus ``shingle_set``
+    when ``verify="exact"`` (exact Jaccard needs the shingle sets; the
+    estimate mode needs only signatures). Id namespaces of the batch and
+    the corpus must be disjoint (content-derived ids make this free).
+
+    Semantics: candidate pairs are (new x corpus) ∪ (new x new) — never
+    corpus x corpus (already deduped; this is what makes the job
+    O(batch), not O(corpus)). After verification, connected components
+    run over the new x new edges; a component is ``dup_of_corpus`` when
+    ANY member verified against a corpus doc (transitive: a chain
+    new_a ~ new_b ~ corpus drops both). Returns every new doc annotated:
+
+    - ``cluster_rep``: min new-batch id in the doc's new x new component
+    - ``dup_of_corpus``: component touches the existing corpus
+    - ``keep``: not dup_of_corpus AND doc is its component's rep —
+      exactly the rows to append to the corpus (and whose fingerprints
+      to append to ``existing_fp``).
+
+    Scale shape: one map-only signature pass over the BATCH, banding
+    shuffles keyed on (band_id, band_hash) where corpus-side bucket
+    membership is rank-capped at ``max_bucket`` (corpus rows first —
+    an anchored bucket must stay anchored), pair shuffles carry ids
+    only, and the new-batch side of every membership join is the small
+    side (broadcast-able). Corpus fingerprints are scanned once for
+    banding and once per verify-attach — both column-pruned scans of a
+    stored table, no text."""
+    rows = num_hashes // bands
+    if verify == "exact":
+        if "shingle_set" not in existing_fp.columns:
+            raise ValueError(
+                "verify='exact' needs existing_fp to carry shingle_set "
+                "(build it with fingerprints()); estimate mode needs only minhash")
+        fp_new = track_cache(
+            fingerprints(new_docs, text_col, id_col, num_hashes, shingle_n).persist())
+    else:
+        fp_new = track_cache(
+            minhash_signature(new_docs, text_col, num_hashes, shingle_n,
+                              id_col=id_col).select(id_col, "minhash").persist())
+    fp_new.count()  # materialize before the consumer stages fan out
+
+    bn = _band_buckets(fp_new, "minhash", bands, rows, id_col) \
+        .select(id_col, "band_id", "band_hash").withColumn("__new", F.lit(True))
+    bo = _band_buckets(existing_fp, "minhash", bands, rows, id_col) \
+        .select(id_col, "band_id", "band_hash").withColumn("__new", F.lit(False))
+    allb = bo.unionByName(bn)
+    from pyspark.sql import Window
+
+    # cap combined buckets; corpus entries rank first so a boilerplate
+    # bucket keeps its anchors (dropping anchors would silently convert
+    # corpus-dups into kept docs; dropping new-new pairs only risks
+    # splitting a cluster, surfaced via bucket_truncated upstream too)
+    w = Window.partitionBy("band_id", "band_hash") \
+        .orderBy(F.col("__new").asc(), F.col(id_col).asc())
+    allb = allb.withColumn("__rn", F.row_number().over(w)) \
+        .where(F.col("__rn") <= max_bucket).drop("__rn")
+    left = bn.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    right = allb.select("band_id", "band_hash", F.col(id_col).alias("id_b"),
+                        F.col("__new").alias("__new_b"))
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        # new x new once (a < b); new x corpus always (namespaces disjoint)
+        .where(F.when(F.col("__new_b"), F.col("id_a") < F.col("id_b"))
+               .otherwise(F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b", "__new_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    if verify == "exact":
+        sets = fp_new.select(id_col, "shingle_set").unionByName(
+            existing_fp.select(id_col, "shingle_set"))
+        verified = _exact_jaccard_over(pairs, sets, id_col, threshold) \
+            .select("id_a", "id_b")
+    else:
+        sigs = fp_new.select(id_col, "minhash").unionByName(
+            existing_fp.select(id_col, "minhash"))
+        verified = (
+            pairs
+            .join(sigs.select(F.col(id_col).alias("id_a"),
+                              F.col("minhash").alias("sig_a")), "id_a")
+            .join(sigs.select(F.col(id_col).alias("id_b"),
+                              F.col("minhash").alias("sig_b")), "id_b")
+            .where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+            .select("id_a", "id_b")
+        )
+    verified = verified.persist()
+    verified.count()
+
+    new_ids = fp_new.select(F.col(id_col).alias("id"))
+    # membership split: the NEW batch is the small side of both joins
+    nn = verified.join(F.broadcast(new_ids.withColumnRenamed("id", "id_b")),
+                       "id_b", "left_semi")
+    cross = verified.join(F.broadcast(new_ids.withColumnRenamed("id", "id_b")),
+                          "id_b", "left_anti")
+
+    nn = nn.persist()
+    nn.count()
+    labels = _cluster_labels(nn, new_ids, cc_broadcast_threshold, max_cc_rounds)
+    # a component is corpus-dup when any member has a cross edge
+    anchored_reps = (
+        labels.join(cross.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi")
+        .select(F.col("rep").alias("__arep")).distinct()
+    )
+    verified.unpersist()
+    out = (
+        new_docs.join(
+            labels.select(F.col("id").alias(id_col), F.col("rep").alias("cluster_rep")),
+            id_col)
+        .join(F.broadcast(anchored_reps),
+              F.col("cluster_rep") == F.col("__arep"), "left")
+        .withColumn("dup_of_corpus", F.col("__arep").isNotNull())
+        .drop("__arep")
+        .withColumn("keep", (~F.col("dup_of_corpus"))
+                    & (F.col(id_col) == F.col("cluster_rep")))
+    )
+    fp_new.unpersist()
+    return out

@@ -225,3 +225,123 @@ def test_datagen_documents_planted_dups(spark):
     # dup_frac=0.2 with ~6% word mutation: the bulk of the 120 planted
     # dups must land in their parent's cluster
     assert n_clustered >= 60
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def incr_split(spark):
+    """Corpus/batch split with every interesting topology: a new doc
+    duplicating the corpus directly, one reaching it only through a
+    chain inside the batch, a batch-internal dup pair with no corpus
+    link, and a unique doc."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the river bank every morning")
+    other = ("completely different content about spark window aggregation "
+             "engines partitioning shuffles and catalyst optimizer internals")
+    corpus = spark.createDataFrame(
+        [(2, base), (4, other)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (101, base.replace("quick", "fast")),       # ~ corpus 2
+            (103, base.replace("quick", "fast")
+                      .replace("morning", "evening")),  # ~ 101 ~ corpus 2 (chain)
+            (105, other.replace("spark", "flink") + " extra trailing words "
+                  "padding the shingle set towards a softer jaccard overlap"),
+            (107, "yet another unrelated document mentioning tokenizers "
+                  "embeddings and large scale distributed training data "
+                  "pipelines for models"),
+            (109, "yet another unrelated document mentioning tokenizers "
+                  "embeddings and large scale distributed training data "
+                  "pipelines for big models"),                 # ~ 107
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, new
+
+
+def _incr_run(corpus, new, **kw):
+    from feathr_spark.operators.dedup import (fingerprints,
+                                              minhash_incremental_dedup)
+
+    fp = fingerprints(corpus).persist()
+    fp.count()
+    out = minhash_incremental_dedup(new, fp, **kw)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    fp.unpersist()
+    return rows
+
+
+def test_incremental_dedup_topologies(spark, incr_split):
+    corpus, new = incr_split
+    rows = _incr_run(corpus, new, threshold=0.5, verify="exact")
+    assert set(rows) == {101, 103, 105, 107, 109}
+    # direct corpus dup and the chained one share a component, anchored
+    assert rows[101]["cluster_rep"] == 101 and rows[103]["cluster_rep"] == 101
+    assert rows[101]["dup_of_corpus"] and rows[103]["dup_of_corpus"]
+    assert not rows[101]["keep"] and not rows[103]["keep"]
+    # batch-internal pair: min id kept, no corpus anchor
+    assert rows[107]["cluster_rep"] == 107 == rows[109]["cluster_rep"]
+    assert not rows[107]["dup_of_corpus"] and not rows[109]["dup_of_corpus"]
+    assert rows[107]["keep"] and not rows[109]["keep"]
+    # 105 is a softened variant of the corpus 'other' doc — at 0.5 it
+    # may or may not anchor depending on shingle overlap; assert the
+    # invariant instead: keep XOR (dup_of_corpus or non-rep)
+    assert rows[105]["keep"] == (not rows[105]["dup_of_corpus"]
+                                 and rows[105]["cluster_rep"] == 105)
+
+
+def test_incremental_estimate_matches_exact_on_planted(spark, incr_split):
+    corpus, new = incr_split
+    exact = _incr_run(corpus, new, threshold=0.5, verify="exact")
+    est = _incr_run(corpus, new, threshold=0.5, verify="estimate")
+    # estimate is a signature-agreement approximation; on the planted
+    # clear-cut corpus (j >> or << threshold) decisions must agree
+    for d in (101, 103, 107, 109):
+        assert est[d]["keep"] == exact[d]["keep"]
+        assert est[d]["dup_of_corpus"] == exact[d]["dup_of_corpus"]
+
+
+def test_incremental_matches_full_dedup_survivors(spark, incr_split):
+    """Incremental survivors == full-corpus dedup survivors restricted
+    to the batch, when the corpus itself is dup-free (the invariant the
+    operator maintains across runs)."""
+    from feathr_spark.operators.dedup import minhash_lsh_dedup
+
+    corpus, new = incr_split
+    rows = _incr_run(corpus, new, threshold=0.5, verify="exact")
+    full = corpus.unionByName(new)
+    labels = {r["doc_id"]: r["cluster_rep"]
+              for r in minhash_lsh_dedup(full, threshold=0.5,
+                                         verify="exact").collect()}
+    corpus_ids = {r["doc_id"] for r in corpus.collect()}
+    for d, r in rows.items():
+        # full-dedup keeps d iff d is min of its component; incremental
+        # keeps d iff its component has no corpus member AND d is min
+        comp = [x for x, rep in labels.items() if rep == labels[d]]
+        full_keep = (min(comp) == d) and not (set(comp) & corpus_ids)
+        assert r["keep"] == full_keep, (d, comp, r)
+
+
+def test_incremental_distributed_cc_parity(spark, incr_split):
+    corpus, new = incr_split
+    a = _incr_run(corpus, new, threshold=0.5, verify="exact")
+    b = _incr_run(corpus, new, threshold=0.5, verify="exact",
+                  cc_broadcast_threshold=0)
+    assert {d: (r["cluster_rep"], r["dup_of_corpus"], r["keep"])
+            for d, r in a.items()} == \
+           {d: (r["cluster_rep"], r["dup_of_corpus"], r["keep"])
+            for d, r in b.items()}
+
+
+def test_incremental_exact_requires_shingles(spark, incr_split):
+    from feathr_spark.operators.dedup import (minhash_incremental_dedup,
+                                              minhash_signature)
+
+    corpus, new = incr_split
+    fp = minhash_signature(corpus).select("doc_id", "minhash")
+    with pytest.raises(ValueError, match="shingle_set"):
+        minhash_incremental_dedup(new, fp, verify="exact")
