@@ -18,17 +18,26 @@ use — no JVM, no third-party dependency:
   treats it)
 - numbers / booleans / null recognized in unquoted values
 
+- ``include "file.conf"`` / ``include classpath("x.conf")`` /
+  ``include file("x.conf")`` / ``include required(...)`` — resolved
+  through a caller-supplied resolver (see :func:`load_file`); per the
+  HOCON spec a missing include is silently skipped unless wrapped in
+  ``required(...)``. Typesafe reference:
+  com.typesafe.config.impl.ConfigParser (the reference loads configs
+  with typesafe-config via FeathrConfigLoader.scala).
+
 Not supported (and not used by any reference test config we target):
-``include``, ``${substitutions}``, ``+=``. Hitting one raises
-``HoconParseError`` with the offset so the config can be fixed rather
-than silently misread.
+``${substitutions}``, ``+=``. Hitting one raises ``HoconParseError``
+with the offset so the config can be fixed rather than silently
+misread.
 """
 
 from __future__ import annotations
 
+import os
 import re
 
-__all__ = ["loads", "HoconParseError"]
+__all__ = ["loads", "load_file", "HoconParseError"]
 
 
 class HoconParseError(ValueError):
@@ -41,10 +50,11 @@ _KEY_END = set(':={}[],#"\n\r\t ')
 
 
 class _P:
-    def __init__(self, text: str):
+    def __init__(self, text: str, include_resolver=None):
         self.s = text
         self.i = 0
         self.n = len(text)
+        self.include_resolver = include_resolver
 
     # -- low-level ---------------------------------------------------------
     def err(self, msg: str) -> HoconParseError:
@@ -103,6 +113,15 @@ class _P:
             path = self.parse_key_path()
             self.skip_ws(newlines=False)
             c = self.peek()
+            # HOCON: a member starting with the unquoted token `include`
+            # followed by a string / classpath() / file() / url() /
+            # required() is an include directive, not a key (a key named
+            # include still works: it is followed by ':', '=' or '{')
+            if path == ["include"] and c not in ":={":
+                inc = self.parse_include_target()
+                if inc is not None:
+                    _merge(out, inc)
+                continue
             if c in ":=":
                 self.i += 1
                 self.skip_ws(newlines=False)
@@ -114,6 +133,56 @@ class _P:
             else:
                 raise self.err(f"expected ':', '=' or '{{' after key {path!r}")
             _assign(out, path, val)
+
+    def parse_include_target(self):
+        """Parse the target of an include directive and return the parsed
+        included document (dict) or None when the include is optional and
+        unresolvable. Accepts ``"name"``, ``classpath("name")``,
+        ``file("name")``, ``url("name")`` and ``required(<any of those>)``."""
+        required = False
+        kind = "heuristic"
+        if self.peek() != '"':
+            j = self.i
+            while self.i < self.n and self.s[self.i] not in _KEY_END \
+                    and self.s[self.i] != "(":
+                self.i += 1
+            word = self.s[j:self.i]
+            if word == "required":
+                required = True
+                if self.peek() != "(":
+                    raise self.err("expected '(' after required")
+                self.i += 1
+                self.skip_ws(newlines=False)
+                if self.peek() != '"':
+                    j = self.i
+                    while self.i < self.n and self.s[self.i] not in _KEY_END \
+                            and self.s[self.i] != "(":
+                        self.i += 1
+                    kind = self.s[j:self.i]
+            else:
+                kind = word
+            if kind not in ("classpath", "file", "url", "heuristic") or \
+                    (kind != "heuristic" and self.peek() != "("):
+                raise self.err(f"malformed include directive ({word!r})")
+            if self.peek() == "(":
+                self.i += 1
+                self.skip_ws(newlines=False)
+        if self.peek() != '"':
+            raise self.err("include target must be a quoted string")
+        name = self.parse_quoted()
+        self.skip_ws(newlines=False)
+        while self.peek() == ")":  # close file(...) and required(...)
+            self.i += 1
+            self.skip_ws(newlines=False)
+        text = self.include_resolver(name) if self.include_resolver else None
+        if text is None:
+            if required:
+                raise self.err(f"required include {name!r} not resolvable")
+            return None  # HOCON: optional includes are silently skipped
+        sub = _P(text, self.include_resolver).parse_root()
+        if not isinstance(sub, dict):
+            raise self.err(f"include {name!r} is not an object")
+        return sub
 
     def parse_key_path(self) -> list:
         parts = []
@@ -248,6 +317,29 @@ def _merge(dst: dict, src: dict) -> None:
             dst[k] = v
 
 
-def loads(text: str):
-    """Parse a HOCON document into plain dict/list/scalar values."""
-    return _P(text).parse_root()
+def loads(text: str, include_resolver=None):
+    """Parse a HOCON document into plain dict/list/scalar values.
+
+    ``include_resolver(name) -> str | None`` supplies the text of
+    ``include`` targets; with the default ``None`` resolver, optional
+    includes are skipped and ``required(...)`` ones raise."""
+    return _P(text, include_resolver).parse_root()
+
+
+def load_file(path: str, classpath_roots: tuple = ()):
+    """Parse a HOCON file, resolving ``include`` targets relative to the
+    including file's directory first, then against ``classpath_roots``
+    (what typesafe-config's classpath() does against the JVM classpath —
+    here: explicit resource roots, e.g. a test-resources directory)."""
+    base = os.path.dirname(os.path.abspath(path))
+
+    def resolver(name: str):
+        for root in (base, *classpath_roots):
+            cand = os.path.join(root, name)
+            if os.path.isfile(cand):
+                with open(cand, encoding="utf-8") as fh:
+                    return fh.read()
+        return None
+
+    with open(path, encoding="utf-8") as fh:
+        return _P(fh.read(), resolver).parse_root()

@@ -426,7 +426,12 @@ def _cluster_labels(verified: DataFrame, nodes: DataFrame,
     id; untouched nodes label themselves). Small edge sets are solved by
     a driver union-find (Arrow collect of two flat id columns) and joined
     back broadcast; larger ones run the distributed fixpoint. Owns the
-    unpersist of ``verified``."""
+    unpersist of ``verified``. The RETURNED labels frame is
+    persisted+materialized on both paths (registered with
+    :func:`feathr_spark.session.track_cache`), so callers may unpersist
+    their own upstream caches (e.g. the fingerprint table ``nodes``
+    derives from) without triggering a signature recompute at their
+    first downstream action."""
     n_edges = verified.count()
     if n_edges <= cc_broadcast_threshold:
         pdf = verified.select("id_a", "id_b").toPandas()
@@ -443,6 +448,8 @@ def _cluster_labels(verified: DataFrame, nodes: DataFrame,
                 .select("id", F.coalesce("rep", "id").alias("rep"))
         else:
             labels = nodes.select("id", F.col("id").alias("rep"))
+        labels = track_cache(labels.persist())
+        labels.count()  # cut lineage to nodes' upstream caches
     else:
         edges = verified.unionByName(
             verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -929,7 +936,14 @@ def minhash_incremental_dedup(
         labels.join(cross.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi")
         .select(F.col("rep").alias("__arep")).distinct()
     )
+    # materialize the (tiny) anchored-rep set BEFORE dropping the caches it
+    # reads through: ``out``'s lineage must reduce to new_docs ⋈ labels ⋈
+    # anchored_reps (all cached) — otherwise the caller's first action
+    # replays banding + verification from scratch
+    anchored_reps = track_cache(anchored_reps.persist())
+    anchored_reps.count()
     verified.unpersist()
+    fp_new.unpersist()
     out = (
         new_docs.join(
             labels.select(F.col("id").alias(id_col), F.col("rep").alias("cluster_rep")),
@@ -941,5 +955,4 @@ def minhash_incremental_dedup(
         .withColumn("keep", (~F.col("dup_of_corpus"))
                     & (F.col(id_col) == F.col("cluster_rep")))
     )
-    fp_new.unpersist()
     return out

@@ -36,3 +36,47 @@ def test_zip_importable(tmp_path):
                          text=True, cwd=str(tmp_path))
     assert res.returncode == 0, res.stderr
     assert res.stdout.strip() == "x"
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    """Run the REAL deployment command: ``spark-submit --py-files fs.zip
+    jobs/corpus_features.py join --synthesize ...`` in a scratch cwd with
+    the job script copied out of the repo, so ``import feathr_spark`` can
+    resolve ONLY through the --py-files zip (the checkout is not on any
+    path the driver or executors see). This is the north-star deployment
+    contract executed end-to-end, not simulated."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):  # pragma: no cover - sandbox always has it
+        import pytest
+        pytest.skip("spark-submit not installed")
+
+    zip_path = build_pyfiles_zip(str(tmp_path / "fs.zip"))
+    job = tmp_path / "corpus_features.py"
+    shutil.copyfile(os.path.join(REPO, "jobs", "corpus_features.py"), job)
+    out_dir = tmp_path / "features"
+
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable,
+               # scratch local dir; don't fight the session-default sweep
+               FEATHR_SPARK_LOCAL_DIR=str(tmp_path / "local"))
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    res = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.driver.memory=4g",
+         "--py-files", zip_path, str(job),
+         "join", "--synthesize", "0.002", "--output", str(out_dir)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    import json
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "join"
+    assert report["rows"] > 0
+    # the output is a real parquet dataset with the battery columns
+    import duckdb
+    cols = {r[0] for r in duckdb.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/*.parquet')").fetchall()}
+    assert {"doc_id", "tok_sum_1d", "src_cnt_7d", "last_tokens"} <= cols
