@@ -456,6 +456,18 @@ def q_minhash_clusters(spark, sf_dir):
                              verify="exact")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Fixed-window exact substring dedup audit (Lee et al. 2022): per
+    document, word/window totals, cross-document-duplicated window count,
+    and surviving word count after span removal. All counts derive from
+    window TEXT (hashing is internal), so DuckDB recomputes them exactly
+    with a lateral-unnest window inventory."""
+    from feathr_spark.operators.corpus import duplicate_window_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_window_stats(docs, window=10, min_docs=2)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Append-only-corpus dedup: even doc_ids play the already-ingested
     corpus (their fingerprint table is materialized first — the only
@@ -1488,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_derived": q_gen_derived,
         "image_stats": q_image_stats,
         "incremental_dedup": q_incremental_dedup,
+        "dup_spans": q_dup_spans,
         "full_plan": q_full_plan,
         "lookup_elementwise": q_lookup_elementwise,
         "swa_sim_delay": q_swa_sim_delay,
@@ -2370,6 +2383,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ann_ivf: rows-only (centroid fit is sample/seed-dependent);
         # exact parity via knn_bruteforce, recall asserted in pytest
+        "dup_spans": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                  trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                      '\s+', ' ', 'g')),
+                  '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+9], ' ') AS win
+              FROM w, UNNEST(range(1, greatest(len(words) - 9, 0) + 1)) AS t(i)
+            ), duph AS (
+              SELECT win FROM (
+                SELECT win, count(DISTINCT doc_id) AS nd FROM wins GROUP BY win
+              ) WHERE nd >= 2
+            ), occ AS (
+              SELECT wins.doc_id, wins.pos FROM wins JOIN duph USING (win)
+            ), occagg AS (
+              SELECT doc_id, count(*) AS ndup FROM occ GROUP BY doc_id
+            ), cov AS (
+              SELECT doc_id, count(DISTINCT j) AS ncov
+              FROM occ, UNNEST(range(pos, pos + 10)) AS u(j) GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(greatest(len(words) - 9, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(ndup, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(len(words) - coalesce(ncov, 0) AS BIGINT) AS clean_n_words
+            FROM w LEFT JOIN occagg USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
         "incremental_dedup": f"""
             WITH RECURSIVE {_SHINGLE_JACCARD_CTE},
             nd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),

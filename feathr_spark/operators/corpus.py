@@ -502,3 +502,142 @@ def drop_common_lines(
                 .drop("__c"))
 
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# exact substring (fixed-window) dedup — Lee et al. 2022, arXiv 2107.06499
+# ---------------------------------------------------------------------------
+
+
+def duplicate_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Occurrences ``(id_col, pos, win_hash)`` of ``window``-word windows
+    whose content appears in >= ``min_docs`` distinct documents — exact
+    substring duplication at fixed granularity, the distributable
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; their
+    ExactSubstr uses a single-machine suffix array, which has no clean
+    1000-executor decomposition — a rolling fixed-width window inventory
+    does: it finds every duplicated substring of length >= window, at
+    window-start resolution). Beyond the reference's surface (its dedup
+    stops at row level); complements ``minhash_lsh_dedup`` (whole-doc
+    near-dup) and ``drop_common_lines`` (line granularity).
+
+    ``pos`` is the 0-based word offset of the window start after
+    :func:`~feathr_spark.operators.text.normalize_text`.
+
+    Scale shape: the exploded stream carries ``(win_hash:long, id, pos)``
+    — ids and 8-byte hashes, never window text, so the shuffle is
+    O(corpus tokens) narrow rows. The >= min_docs screen is a two-phase
+    hash aggregation (map-side partial distinct via the (hash, id)
+    dedup), and qualifying hashes come back as a left-semi join that AQE
+    broadcasts when the duplicated-window inventory is small (the common
+    case: dup density << 1). No stage materializes window strings."""
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(shingles(F.col(text_col), window),
+                        lambda s: F.xxhash64(s))
+        ).alias("pos", "win_hash"),
+    )
+    dup_hashes = (
+        wins.select("win_hash", id_col).distinct()
+        .groupBy("win_hash").count()
+        .where(F.col("count") >= min_docs)
+        .select("win_hash")
+    )
+    return wins.join(dup_hashes, "win_hash", "left_semi") \
+        .select(id_col, "pos", "win_hash")
+
+
+def _covered_indices(pos_set: Column, window: int) -> Column:
+    """Distinct 0-based word indices covered by the union of
+    [pos, pos+window) spans (overlaps merged by construction)."""
+    return F.array_distinct(F.flatten(F.transform(
+        pos_set, lambda p: F.sequence(p, p + F.lit(window - 1)))))
+
+
+def duplicate_window_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication profile: total word/window counts, how
+    many windows are cross-document duplicates, and how many words would
+    survive :func:`remove_duplicate_spans` — the audit table a curation
+    pipeline inspects before committing to span removal."""
+    words = _text_words(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.greatest(F.size(words) - F.lit(window - 1), F.lit(0))
+        .cast("long").alias("n_windows"),
+    )
+    per_doc = (
+        duplicate_windows(df, text_col, id_col, window, min_docs)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__ndup"), F.collect_set("pos").alias("__pp"))
+        .select(
+            id_col, "__ndup",
+            F.size(_covered_indices(F.col("__pp"), window)).alias("__ncov"),
+        )
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col, "n_words", "n_windows",
+        F.coalesce("__ndup", F.lit(0)).cast("long").alias("n_dup_windows"),
+        (F.col("n_words") - F.coalesce("__ncov", F.lit(0)))
+        .cast("long").alias("clean_n_words"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Rewrite each document with every cross-document-duplicated
+    ``window``-word span removed (overlapping spans merge; the rebuilt
+    text is the surviving words joined by single spaces, in original
+    order, on the normalized form). With ``keep_first=True`` the
+    globally first occurrence of each duplicated window — min
+    ``(id_col, pos)`` — is exempt, so exactly one copy of each
+    duplicated passage survives in the corpus (the Lee et al. policy);
+    the default drops all occurrences (the conservative policy when
+    boilerplate should vanish entirely).
+
+    Adds ``clean_text``; all input columns pass through. Pure JVM:
+    span merging is array algebra (sequence/flatten/array_except) inside
+    whole-stage codegen, no Python worker touches the corpus."""
+    dup = duplicate_windows(df, text_col, id_col, window, min_docs)
+    if keep_first:
+        w = Window.partitionBy("win_hash").orderBy(F.col(id_col).asc(),
+                                                   F.col("pos").asc())
+        dup = dup.withColumn("__rn", F.row_number().over(w)) \
+            .where(F.col("__rn") > 1).drop("__rn")
+    spans = dup.groupBy(id_col).agg(F.collect_set("pos").alias("__pp"))
+    words = _text_words(text_col)
+    covered = _covered_indices(F.coalesce(F.col("__pp"),
+                                          F.array().cast("array<int>")), window)
+    keep_idx = F.when(
+        F.size(words) > 0,
+        F.array_except(F.sequence(F.lit(0), F.size(words) - 1), covered),
+    ).otherwise(F.array().cast("array<int>"))
+    rebuilt = F.concat_ws(
+        " ", F.transform(keep_idx, lambda i: F.element_at(words, i + 1)))
+    return df.join(spans, id_col, "left") \
+        .withColumn("clean_text", rebuilt).drop("__pp")
+
+
+def _text_words(text_col: str) -> Column:
+    from feathr_spark.operators.text import _words, normalize_text
+    return _words(normalize_text(F.col(text_col)))

@@ -199,3 +199,104 @@ def test_drop_common_lines_cap_raises(spark):
     with pytest.raises(ValueError, match="max_common_lines"):
         drop_common_lines(df, min_docs=2, strategy="broadcast_set",
                           max_common_lines=0)
+
+
+# ---------------------------------------------------------------------------
+# fixed-window substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _norm_words(text):
+    import re
+    return [w for w in re.sub(r"\s+", " ",
+                              re.sub(r"[^\w\s]", "", text.lower())).strip().split(" ")
+            if w]
+
+
+def _brute_dup_positions(rows, window, min_docs):
+    """Python reference: {doc_id: sorted positions of windows whose text
+    occurs in >= min_docs distinct docs}."""
+    occ = {}
+    for did, text in rows:
+        ws = _norm_words(text)
+        for i in range(max(len(ws) - window + 1, 0)):
+            occ.setdefault(" ".join(ws[i:i + window]), []).append((did, i))
+    dup = {}
+    for win, hits in occ.items():
+        if len({d for d, _ in hits}) >= min_docs:
+            for d, p in hits:
+                dup.setdefault(d, set()).add(p)
+    return {d: sorted(ps) for d, ps in dup.items()}
+
+
+def test_duplicate_window_stats_vs_bruteforce(spark, docs):
+    from feathr_spark.operators.corpus import duplicate_window_stats
+
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    W = 10
+    expected = _brute_dup_positions(rows, W, 2)
+    got = {r.doc_id: r for r in duplicate_window_stats(docs, window=W).collect()}
+    assert len(got) == len(rows)
+    for did, text in rows:
+        ws = _norm_words(text)
+        r = got[did]
+        assert r.n_words == len(ws)
+        assert r.n_windows == max(len(ws) - W + 1, 0)
+        pos = expected.get(did, [])
+        assert r.n_dup_windows == len(pos)
+        covered = {j for p in pos for j in range(p, p + W)}
+        assert r.clean_n_words == len(ws) - len(covered)
+    assert any(r.n_dup_windows > 0 for r in got.values())  # non-trivial fixture
+
+
+def test_remove_duplicate_spans_vs_bruteforce(spark, docs):
+    from feathr_spark.operators.corpus import remove_duplicate_spans
+
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    W = 10
+    expected = _brute_dup_positions(rows, W, 2)
+    got = {r.doc_id: r.clean_text
+           for r in remove_duplicate_spans(docs, window=W).collect()}
+    for did, text in rows:
+        ws = _norm_words(text)
+        covered = {j for p in expected.get(did, []) for j in range(p, p + W)}
+        want = " ".join(w for i, w in enumerate(ws) if i not in covered)
+        assert got[did] == want, did
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from feathr_spark.operators.corpus import remove_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    df = spark.createDataFrame(
+        [(1, boiler + " unique tail one"),
+         (2, boiler + " different suffix two"),
+         (3, "totally unrelated words only here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.clean_text
+           for r in remove_duplicate_spans(df, window=10, keep_first=True).collect()}
+    # doc 1 holds the global first occurrence -> its span survives
+    assert out[1].startswith("the quick brown fox")
+    assert "unique tail one" in out[1]
+    # doc 2's copy is removed, its own words survive
+    assert out[2] == "different suffix two"
+    assert out[3] == "totally unrelated words only here"
+    # default policy removes both copies
+    from feathr_spark.operators.corpus import duplicate_window_stats
+    both = {r.doc_id: r.clean_text
+            for r in remove_duplicate_spans(df, window=10).collect()}
+    assert both[1] == "unique tail one"
+    assert both[2] == "different suffix two"
+
+
+def test_duplicate_windows_short_and_empty_docs(spark):
+    from feathr_spark.operators.corpus import (duplicate_window_stats,
+                                               remove_duplicate_spans)
+
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, ""), (3, "short doc")], ["doc_id", "text"])
+    stats = {r.doc_id: r for r in duplicate_window_stats(df, window=10).collect()}
+    assert stats[1].n_windows == 0 and stats[1].n_dup_windows == 0
+    assert stats[2].n_words == 0 and stats[2].clean_n_words == 0
+    clean = {r.doc_id: r.clean_text for r in remove_duplicate_spans(df, window=10).collect()}
+    assert clean[1] == "short doc" and clean[2] == ""
