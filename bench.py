@@ -51,6 +51,7 @@ HEADLINE = [
     "simhash_pairs",
     "knn_bruteforce",
     "line_dedup",
+    "dup_spans",              # fixed-window exact-substring dedup audit
     "url_features",
     "full_plan",              # multi-stage planner end-to-end
 ]
