@@ -978,6 +978,40 @@ def q_stream_running(spark, sf_dir):
     )
 
 
+def q_stream_asof(spark, sf_dir):
+    """Streaming point-in-time enrichment: the events stream is drained
+    availableNow through ``foreachBatch``, each micro-batch as-of joined
+    against the static purchase table by the batch kernel
+    (streaming/enrich.py — the serving-side twin of asof_purchase; the
+    reference pushes materialized values online instead,
+    StreamingFeatureGenerator.scala:95-125). Per-row output is
+    independent of micro-batch splits, so the oracle is the plain batch
+    ASOF join; the multi-epoch split property itself is pinned by
+    tests/test_streaming.py."""
+    import tempfile
+
+    from feathr_spark.streaming import stream_asof_enrich
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events*")
+        .select("event_id", "user_id", "ts")
+    )
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where("event_type = 'purchase'")
+    sink = tempfile.mkdtemp(prefix="feathr_enrich_")
+    q = stream_asof_enrich(
+        stream, purchases, ["user_id"], ["user_id"], "ts", "ts",
+        ["value as last_purchase_value"],
+        checkpoint_dir=tempfile.mkdtemp(prefix="feathr_enrich_ck_"),
+        sink_path=sink,
+        obs_ts_format="timestamp", fact_ts_format="timestamp",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "event_id", F.round("last_purchase_value", 4).alias("last_purchase_value"))
+
+
 def q_ann_recall_bounds(spark, sf_dir):
     """Recall lower bounds for the seeded-Gaussian ANN variants (the two
     rows-only queries): a deterministic clustered corpus (12 seeded
@@ -1494,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
         "ann_recall_bounds": q_ann_recall_bounds,
         "hocon_join": q_hocon_join,
@@ -2213,6 +2248,12 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n, round(sum(value), 4) AS v_sum
             FROM w WHERE t >= ws AND t < ws + 3600
             GROUP BY 1, 2
+        """,
+        "stream_asof": """
+            SELECT o.event_id, round(f.value, 4) AS last_purchase_value
+            FROM events o ASOF LEFT JOIN (
+                SELECT * FROM events WHERE event_type = 'purchase'
+            ) f ON o.user_id = f.user_id AND f.ts <= o.ts
         """,
         "stream_running": """
             WITH e AS (

@@ -1,5 +1,6 @@
 """Structured Streaming feature ingestion + stateful windowed operators."""
 
+from feathr_spark.streaming.enrich import stream_asof_enrich  # noqa: F401
 from feathr_spark.streaming.ingest import (  # noqa: F401
     stream_dedup,
     stream_features,

@@ -179,3 +179,60 @@ def test_stream_running_features_matches_batch(spark, sf_dir, tmp_path):
     assert (m["n_events"] == m["n_events_o"]).all()
     assert np.allclose(m["value_sum"], m["value_sum_o"])
     assert np.allclose(m["latest_value"], m["latest_value_o"])
+
+
+def test_stream_asof_enrich_matches_batch(spark, src_dir, tmp_path):
+    """Micro-batched point-in-time enrichment == batch as-of join of the
+    full input, regardless of how the source splits into batches
+    (maxFilesPerTrigger=1 forces one epoch per source file)."""
+    from feathr_spark import asof_join
+    from feathr_spark.streaming import stream_asof_enrich
+
+    # second file -> second micro-batch
+    _write_batch(spark, src_dir, [
+        ("u2", "2024-01-01 00:25:00", 7.0, "view"),
+        ("u1", "2024-01-01 02:00:00", 9.0, "view"),
+        ("u3", "2024-01-01 02:00:00", 4.0, "view"),   # no click ever -> null
+    ])
+    batch = spark.read.schema(SCHEMA).parquet(src_dir)
+    fact = batch.where("et = 'click'").selectExpr("uid", "ts", "v").persist()
+    fact.count()  # materialize before start: one plan execution per epoch
+
+    stream = (
+        spark.readStream.schema(SCHEMA).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src_dir)
+    )
+    sink = str(tmp_path / "enriched")
+    q = stream_asof_enrich(
+        stream, fact, ["uid"], ["uid"], "ts", "ts",
+        ["v as last_click_v"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_path=sink,
+        obs_ts_format="timestamp", fact_ts_format="timestamp",
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(sink)
+    assert got.select(F.max("__epoch")).first()[0] >= 1  # really micro-batched
+    want = asof_join(batch, fact, ["uid"], ["uid"], "ts", "ts",
+                     ["v as last_click_v"],
+                     obs_ts_format="timestamp", fact_ts_format="timestamp")
+
+    def canon(df):
+        return sorted(
+            (r["uid"], str(r["ts"]), r["v"], r["et"], r["last_click_v"])
+            for r in df.select("uid", "ts", "v", "et", "last_click_v").collect()
+        )
+
+    assert canon(got) == canon(want)
+    fact.unpersist()
+
+
+def test_stream_asof_enrich_arg_validation(spark, src_dir, tmp_path):
+    from feathr_spark.streaming import stream_asof_enrich
+
+    batch = spark.read.schema(SCHEMA).parquet(src_dir)
+    stream = spark.readStream.schema(SCHEMA).format("parquet").load(src_dir)
+    with pytest.raises(ValueError, match="exactly one"):
+        stream_asof_enrich(stream, batch, ["uid"], ["uid"], "ts", "ts",
+                           ["v as x"], checkpoint_dir=str(tmp_path / "c"))
