@@ -978,6 +978,37 @@ def q_stream_running(spark, sf_dir):
     )
 
 
+def q_client_flow(spark, sf_dir):
+    """Reference Python-client façade end-to-end
+    (feathr_spark/client.py; reference feathr_project/feathr/client.py:
+    build_features:241 -> get_offline_features:497): context-built SWA
+    anchor + derived feature through FeathrClient, same planner
+    underneath as full_plan/hocon_join."""
+    from feathr_spark import (Anchor, DerivedFeature, FeathrClient,
+                              FeatureQuery, ObservationSettings, Source,
+                              SWAFeature, WindowSpec)
+
+    client = FeathrClient(spark)
+    src = Source(path=f"{sf_dir}/events.parquet", fmt="parquet",
+                 timestamp_col="ts", timestamp_format="timestamp")
+    client.build_features(
+        anchor_list=[Anchor(
+            name="ev", source=src, keys=["user_id"],
+            features=[SWAFeature("sum_1h", "SUM", "value", WindowSpec(3600)),
+                      SWAFeature("cnt_1h", "COUNT", "value", WindowSpec(3600))])],
+        derived_feature_list=[DerivedFeature(
+            "ratio", "sum_1h / greatest(cnt_1h, 1)",
+            inputs=("sum_1h", "cnt_1h"))])
+    settings = ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                                   timestamp_format="timestamp")
+    _, obs = _events_obs(spark, sf_dir)
+    out = client.get_offline_features(
+        obs, FeatureQuery(["sum_1h", "cnt_1h", "ratio"]), settings)
+    return out.select(
+        "event_id", F.round("sum_1h", 4).alias("sum_1h"), "cnt_1h",
+        F.round("ratio", 6).alias("ratio"))
+
+
 def q_stream_asof(spark, sf_dir):
     """Streaming point-in-time enrichment: the events stream is drained
     availableNow through ``foreachBatch``, each micro-batch as-of joined
@@ -1528,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
         "ann_recall_bounds": q_ann_recall_bounds,
@@ -2248,6 +2280,18 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n, round(sum(value), 4) AS v_sum
             FROM w WHERE t >= ws AND t < ws + 3600
             GROUP BY 1, 2
+        """,
+        "client_flow": """
+            SELECT event_id, round(s, 4) AS sum_1h, c AS cnt_1h,
+                   round(s / greatest(c, 1), 6) AS ratio
+            FROM (
+                SELECT o.event_id, sum(f.value) AS s, count(f.value) AS c
+                FROM events o LEFT JOIN events f
+                  ON f.user_id = o.user_id
+                 AND epoch_us(f.ts) >  epoch_us(o.ts) - 3600000000
+                 AND epoch_us(f.ts) <= epoch_us(o.ts)
+                GROUP BY o.event_id
+            )
         """,
         "stream_asof": """
             SELECT o.event_id, round(f.value, 4) AS last_purchase_value

@@ -19,6 +19,11 @@ from feathr_spark.definitions import (  # noqa: F401
     WindowSpec,
     register_aggregation,
 )
+from feathr_spark.client import (  # noqa: F401
+    FeathrClient,
+    FeatureQuery,
+    MaterializationSettings,
+)
 from feathr_spark.operators.asof import asof_join  # noqa: F401
 from feathr_spark.operators.swa import join_window_agg_features  # noqa: F401
 from feathr_spark.session import get_spark, release_caches  # noqa: F401

@@ -1,0 +1,320 @@
+"""Reference-shaped Python client façade.
+
+Reference: ``feathr_project/feathr/client.py`` — ``FeathrClient``
+(:62-80), ``build_features`` (:241-299), ``get_offline_features``
+(:497-616), ``materialize_features`` (:718-760), ``get_online_features``
+(:322-340); ``FeatureQuery`` from ``definition/query_feature_list.py``;
+``MaterializationSettings`` from ``definition/materialization_settings.py``.
+
+The reference client renders HOCON configs and SUBMITS a remote Spark
+job; this façade drives the same four-call user flow in-session against
+the engine's native planner/materializer, so a reference user's script
+structure ports line-for-line:
+
+    client = FeathrClient(spark)
+    client.build_features(anchor_list=[...], derived_feature_list=[...])
+    df = client.get_offline_features(obs, FeatureQuery([...]), settings)
+    client.materialize_features(MaterializationSettings(...), fact)
+    client.get_online_features("table", "user42", ["f_sum"])
+
+Reference users with existing HOCON configs load them through
+``feathr_spark.config`` instead (``load_feature_def`` +
+``run_join_config`` — the two surfaces share the planner underneath).
+
+Scale notes: ``get_offline_features`` is one
+:func:`~feathr_spark.plans.planner.join_features` plan (per-stage
+checkpoint knob for 50-anchor DAGs); ``materialize_features`` runs the
+resumable per-cutoff :func:`~feathr_spark.materialize.materialize` with
+lineage manifests; the online push is the embarrassingly-parallel
+:func:`~feathr_spark.sources.online.write_online` per-partition path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feathr_spark.definitions import (
+    Anchor,
+    DerivedFeature,
+    LookupFeature,
+    ObservationSettings,
+    SWAFeature,
+)
+from feathr_spark.materialize import BackfillTime, GenSpec, materialize
+from feathr_spark.sources.online import (
+    LocalOnlineStore,
+    decode_online_value,
+    online_key_column,
+    write_online,
+)
+
+
+@dataclass(frozen=True)
+class FeatureQuery:
+    """A list of requested features and the observation key expressions
+    they join on (reference: definition/query_feature_list.py — the
+    ``key`` is the reference's TypedKey list; here SQL expressions over
+    observation columns, None = the ObservationSettings default keys)."""
+
+    feature_list: Sequence[str]
+    key: Optional[Sequence[str]] = None
+
+
+@dataclass
+class MaterializationSettings:
+    """What to materialize and where (reference:
+    definition/materialization_settings.py:21-64). ``sink_path`` is the
+    offline snapshot store (per-cutoff lineage-manifest partitions);
+    ``online_table`` additionally pushes the LATEST cutoff to the online
+    store under that table name."""
+
+    name: str
+    feature_names: Sequence[str]
+    backfill_time: BackfillTime
+    sink_path: Optional[str] = None
+    online_table: Optional[str] = None
+
+
+class FeathrClient:
+    """In-session driver for the reference client's user flow."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        online_store_dir: Optional[str] = None,
+        online_client_factory=None,
+    ):
+        self.spark = spark
+        if online_client_factory is not None:
+            self._online = online_client_factory
+        else:
+            if online_store_dir is None:
+                import tempfile
+
+                online_store_dir = tempfile.mkdtemp(prefix="feathr_online_")
+            self._online = LocalOnlineStore(online_store_dir)
+        self.anchor_list: list = []
+        self.derived_feature_list: list = []
+        self.lookup_feature_list: list = []
+        self._built = False
+
+    # -- build ----------------------------------------------------------
+    def build_features(
+        self,
+        anchor_list: Sequence[Anchor] = (),
+        derived_feature_list: Sequence[Union[DerivedFeature, LookupFeature]] = (),
+    ) -> None:
+        """Register the feature context (reference client.py:241-299;
+        must precede get_offline_features / materialize_features, same
+        contract as the reference's RuntimeError at client.py:556-560).
+        Duplicate feature names across anchors/deriveds raise, mirroring
+        the reference's conflict check (client.py:525-536)."""
+        anchors = list(anchor_list)
+        derived = [d for d in derived_feature_list
+                   if isinstance(d, DerivedFeature)]
+        lookups = [d for d in derived_feature_list
+                   if isinstance(d, LookupFeature)]
+        seen: dict = {}
+        for a in anchors:
+            for f in a.features:
+                if f.name in seen:
+                    raise RuntimeError(
+                        f"feature name conflict: {f.name!r} defined by "
+                        f"anchors {seen[f.name]!r} and {a.name!r}")
+                seen[f.name] = a.name
+        for d in list(derived) + list(lookups):
+            if d.name in seen:
+                raise RuntimeError(
+                    f"feature name conflict: {d.name!r} already defined "
+                    f"by {seen[d.name]!r}")
+            seen[d.name] = "<derived>"
+        self.anchor_list = anchors
+        self.derived_feature_list = derived
+        self.lookup_feature_list = lookups
+        self._feature_owner = seen
+        self._built = True
+
+    def _require_built(self) -> None:
+        if not self._built:
+            raise RuntimeError(
+                "Please call FeathrClient.build_features() first")
+
+    # -- offline join ----------------------------------------------------
+    def get_offline_features(
+        self,
+        observation: Union[DataFrame, str],
+        feature_query: Union[FeatureQuery, Sequence[FeatureQuery]],
+        observation_settings: ObservationSettings,
+        output_path: Optional[str] = None,
+        source_cache: Optional[dict] = None,
+        checkpoint_every: int = 0,
+    ) -> DataFrame:
+        """Point-in-time join of the requested features onto the
+        observation (reference client.py:497-616). ``observation`` is a
+        DataFrame or a path (the reference's observation_path).
+        Per-query ``key`` binds those features' anchors to different
+        observation key expressions (the reference's key tags). With
+        ``output_path`` the result is also written as parquet."""
+        self._require_built()
+        from dataclasses import replace
+
+        from feathr_spark.plans.planner import join_features
+
+        if isinstance(observation, str):
+            from feathr_spark.sources.batch import read_batch
+
+            observation = read_batch(self.spark, observation)
+
+        queries = ([feature_query] if isinstance(feature_query, FeatureQuery)
+                   else list(feature_query))
+        requested: list = []
+        key_of: dict = {}
+        for q in queries:
+            for name in q.feature_list:
+                if name not in self._feature_owner:
+                    raise KeyError(f"unknown feature {name!r} — not in "
+                                   "build_features context")
+                requested.append(name)
+                if q.key is not None:
+                    key_of[name] = list(q.key)
+        if len(set(requested)) != len(requested):
+            raise RuntimeError("a feature was requested by two "
+                               "FeatureQuery lists; request it once")
+
+        # needed-feature closure: requested + declared derived inputs +
+        # lookup base features (anchors are pruned to this set, so a
+        # requested derived/lookup still finds its inputs joined)
+        needed = set(requested)
+        changed = True
+        while changed:
+            changed = False
+            for d in self.derived_feature_list:
+                if d.name in needed:
+                    for i in d.inputs:
+                        if i not in needed:
+                            needed.add(i)
+                            changed = True
+            for lk in self.lookup_feature_list:
+                if lk.name in needed and lk.base_feature not in needed:
+                    needed.add(lk.base_feature)
+                    changed = True
+
+        # clone anchors per observation-key binding (run_join_config does
+        # the same for HOCON key tags)
+        anchors: list = []
+        for a in self.anchor_list:
+            wanted = [f for f in a.features if f.name in needed]
+            none_key = [f for f in wanted if f.name not in key_of]
+            by_key: dict = {}
+            for f in wanted:
+                if f.name in key_of:
+                    by_key.setdefault(tuple(key_of[f.name]), []).append(f)
+            if none_key:
+                anchors.append(replace(a, features=none_key))
+            for kt, fs in by_key.items():
+                anchors.append(replace(a, features=fs, obs_keys=list(kt),
+                                       name=f"{a.name}__{'_'.join(kt)}"))
+        # lookup expansion anchors ride along under their ORIGINAL name
+        # (the planner resolves them by exact name at expansion time)
+        for lk in self.lookup_feature_list:
+            if lk.name in needed and not any(
+                    a.name == lk.expansion_anchor for a in anchors):
+                anchors.append(next(
+                    a for a in self.anchor_list
+                    if a.name == lk.expansion_anchor))
+        # full derived/lookup context goes to the planner; ``requested``
+        # prunes the output (a requested derived still pulls its inputs)
+        out = join_features(
+            self.spark, observation, observation_settings, anchors,
+            derived=self.derived_feature_list,
+            lookups=self.lookup_feature_list,
+            requested=requested, source_cache=source_cache,
+            checkpoint_every=checkpoint_every,
+        )
+        if output_path:
+            out.write.mode("overwrite").parquet(output_path)
+            out = self.spark.read.parquet(output_path)
+        return out
+
+    # -- materialization ---------------------------------------------------
+    def materialize_features(
+        self,
+        settings: MaterializationSettings,
+        fact: Optional[DataFrame] = None,
+        source_cache: Optional[dict] = None,
+        resume: bool = True,
+    ) -> dict:
+        """Materialize per-entity snapshots of the requested (SWA)
+        features for every backfill cutoff (reference client.py:718-760
+        → the engine's resumable :func:`materialize`), then push the
+        latest cutoff online when ``online_table`` is set. All requested
+        features must live on ONE anchor (one fact table + key space per
+        materialization job — the reference's per-anchor constraint).
+        ``fact`` overrides loading the anchor's source (tests inject
+        in-memory frames)."""
+        self._require_built()
+        names = set(settings.feature_names)
+        owners = {self._feature_owner.get(n) for n in names}
+        if None in owners:
+            missing = [n for n in names if n not in self._feature_owner]
+            raise KeyError(f"unknown features {missing!r}")
+        if len(owners) != 1 or "<derived>" in owners:
+            raise RuntimeError(
+                "materialize_features requires all features on one "
+                f"anchor (got owners {sorted(owners)!r}); derived "
+                "features go in GenSpec.derived")
+        anchor = next(a for a in self.anchor_list if a.name in owners)
+        feats = [f for f in anchor.features if f.name in names]
+        not_swa = [f.name for f in feats if not isinstance(f, SWAFeature)]
+        if not_swa:
+            raise RuntimeError(
+                f"non-aggregated features {not_swa!r} cannot be "
+                "materialized (reference: allow_materialize_non_agg_"
+                "feature guard, client.py:718)")
+        if fact is None:
+            if source_cache and anchor.source.path in source_cache:
+                fact = source_cache[anchor.source.path]
+            else:
+                from feathr_spark.sources.batch import load_source
+
+                fact = load_source(self.spark, anchor.source)
+        key_names = [f"key{i}" for i in range(len(anchor.keys))]
+        spec = GenSpec(
+            keys=list(anchor.keys), key_names=key_names,
+            ts_col=anchor.source.timestamp_col or "ts",
+            features=feats,
+            ts_format=anchor.source.timestamp_format,
+        )
+        sink = settings.sink_path
+        if sink is None:
+            import tempfile
+
+            sink = tempfile.mkdtemp(prefix=f"feathr_mat_{settings.name}_")
+        report = materialize(fact, spec, sink, settings.backfill_time,
+                             resume=resume)
+        report["sink_path"] = sink
+        if settings.online_table:
+            last = max(settings.backfill_time.cutoffs())
+            snap = self.spark.read.parquet(f"{sink}/cutoff={last}")
+            write_online(snap, settings.online_table, key_names,
+                         self._online)
+            report["online_table"] = settings.online_table
+        return report
+
+    # -- online read -------------------------------------------------------
+    def get_online_features(self, feature_table: str, key,
+                            feature_names: Sequence[str]) -> list:
+        """Fetch feature values for one entity key from the online store
+        (reference client.py:322-340: ``hmget`` on ``<table>:<key>``;
+        missing features come back None). ``key`` is the entity key
+        string, or a tuple/list joined with the reference's ``#``
+        separator."""
+        if isinstance(key, (tuple, list)):
+            key = "#".join(str(k) for k in key)
+        client = self._online() if callable(self._online) else self._online
+        row = client.hgetall(f"{feature_table}:{key}")
+        return [decode_online_value(row[f]) if f in row else None
+                for f in feature_names]

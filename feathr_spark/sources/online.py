@@ -146,3 +146,63 @@ def decode_online_value(payload: str):
     """Invert the JSON feature encoding (``{"v": ...}`` envelope keeps
     NULL distinguishable from the string "null")."""
     return json.loads(payload)["v"]
+
+
+class LocalOnlineStore:
+    """File-backed ``redis.Redis``-compatible shim (``hset``/``hget``/
+    ``hgetall``): one JSON file per online key, written atomically
+    (tmp + ``os.replace``), so executor partitions in any deploy mode
+    can push concurrently as long as the directory is shared (local FS
+    here; NFS/cloud-mount in a cluster test rig). This is the default
+    store behind :class:`feathr_spark.client.FeathrClient` when no real
+    client factory is injected — the production path is the same
+    :func:`write_online` call with ``functools.partial(redis.Redis, ...)``.
+
+    Instances are picklable (state = directory path), so the instance
+    itself is a valid ``client_factory``.
+    """
+
+    def __init__(self, directory: str):
+        import os
+
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def __call__(self):  # client_factory protocol
+        return self
+
+    def _path(self, key: str) -> str:
+        import hashlib
+        import os
+
+        h = hashlib.sha256(key.encode("utf-8")).hexdigest()[:32]
+        return os.path.join(self.directory, h + ".json")
+
+    def hset(self, key: str, mapping: dict) -> None:
+        import json as _json
+        import os
+        import tempfile
+
+        path = self._path(key)
+        current = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                current = _json.load(fh)["fields"]
+        current.update(mapping)
+        fd, tmp = tempfile.mkstemp(dir=self.directory)
+        with os.fdopen(fd, "w") as fh:
+            _json.dump({"key": key, "fields": current}, fh)
+        os.replace(tmp, path)
+
+    def hget(self, key: str, field: str):
+        return self.hgetall(key).get(field)
+
+    def hgetall(self, key: str) -> dict:
+        import json as _json
+        import os
+
+        path = self._path(key)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return _json.load(fh)["fields"]

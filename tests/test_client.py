@@ -1,0 +1,159 @@
+"""FeathrClient façade: the reference's four-call user flow
+(build_features -> get_offline_features -> materialize_features ->
+get_online_features) driven in-session, checked against direct engine
+calls on the same data (reference: feathr_project/feathr/client.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_spark import (
+    Anchor,
+    DerivedFeature,
+    FeathrClient,
+    FeatureQuery,
+    MaterializationSettings,
+    ObservationSettings,
+    Source,
+    SWAFeature,
+    WindowSpec,
+)
+from feathr_spark.materialize import BackfillTime
+
+
+def _anchor(sf_dir):
+    src = Source(path=f"{sf_dir}/events.parquet", fmt="parquet",
+                 timestamp_col="ts", timestamp_format="timestamp")
+    return Anchor(
+        name="ev_swa", source=src, keys=["user_id"],
+        features=[
+            SWAFeature("v_sum_1h", "SUM", "value", WindowSpec(3600)),
+            SWAFeature("n_1d", "COUNT", "value", WindowSpec(86400)),
+        ],
+    )
+
+
+def _obs(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "ts"))
+
+
+def test_client_offline_matches_direct_join(spark, sf_dir):
+    client = FeathrClient(spark)
+    client.build_features(
+        anchor_list=[_anchor(sf_dir)],
+        derived_feature_list=[
+            DerivedFeature("v_avg_like", "v_sum_1h / greatest(n_1d, 1)",
+                           inputs=("v_sum_1h", "n_1d"))],
+    )
+    settings = ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                                   timestamp_format="timestamp")
+    got = client.get_offline_features(
+        _obs(spark, sf_dir),
+        FeatureQuery(["v_sum_1h", "v_avg_like"]), settings)
+    # derived requested -> its inputs joined via closure, output pruned
+    assert set(got.columns) == {"event_id", "user_id", "ts",
+                                "v_sum_1h", "v_avg_like"}
+
+    from feathr_spark import join_window_agg_features
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = join_window_agg_features(
+        _obs(spark, sf_dir), ev, ["user_id"], ["user_id"], "ts", "ts",
+        [SWAFeature("v_sum_1h", "SUM", "value", WindowSpec(3600)),
+         SWAFeature("n_1d", "COUNT", "value", WindowSpec(86400))],
+        obs_ts_format="timestamp", fact_ts_format="timestamp",
+    ).withColumn("v_avg_like",
+                 F.expr("v_sum_1h / greatest(n_1d, 1)"))
+
+    def canon(df):
+        return sorted(
+            (r["event_id"],
+             None if r["v_sum_1h"] is None else round(r["v_sum_1h"], 6),
+             None if r["v_avg_like"] is None else round(r["v_avg_like"], 6))
+            for r in df.select("event_id", "v_sum_1h", "v_avg_like").collect())
+
+    assert canon(got) == canon(want)
+
+
+def test_client_query_key_binding(spark, sf_dir):
+    """A FeatureQuery key override binds that feature's anchor to a
+    different observation key expression (the reference's key tags)."""
+    client = FeathrClient(spark)
+    client.build_features(anchor_list=[_anchor(sf_dir)])
+    settings = ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                                   timestamp_format="timestamp")
+    obs = _obs(spark, sf_dir).withColumn("uid2", F.col("user_id"))
+    a = client.get_offline_features(
+        obs, FeatureQuery(["v_sum_1h"], key=["uid2"]), settings)
+    b = client.get_offline_features(
+        obs, FeatureQuery(["v_sum_1h"]), settings)
+    ca = sorted((r["event_id"], r["v_sum_1h"]) for r in
+                a.select("event_id", "v_sum_1h").collect())
+    cb = sorted((r["event_id"], r["v_sum_1h"]) for r in
+                b.select("event_id", "v_sum_1h").collect())
+    assert ca == cb  # same key values through the other column
+
+
+def test_client_guards(spark, sf_dir):
+    client = FeathrClient(spark)
+    with pytest.raises(RuntimeError, match="build_features"):
+        client.get_offline_features(
+            _obs(spark, sf_dir), FeatureQuery(["x"]),
+            ObservationSettings(keys=["user_id"], timestamp_col="ts"))
+    a = _anchor(sf_dir)
+    with pytest.raises(RuntimeError, match="conflict"):
+        client.build_features(anchor_list=[
+            a, Anchor(name="dup", source=a.source, keys=["user_id"],
+                      features=[SWAFeature("v_sum_1h", "SUM", "value",
+                                           WindowSpec(60))])])
+    client.build_features(anchor_list=[a])
+    with pytest.raises(KeyError, match="unknown feature"):
+        client.get_offline_features(
+            _obs(spark, sf_dir), FeatureQuery(["nope"]),
+            ObservationSettings(keys=["user_id"], timestamp_col="ts"))
+
+
+def test_client_materialize_and_online_roundtrip(spark, sf_dir, tmp_path):
+    client = FeathrClient(spark, online_store_dir=str(tmp_path / "online"))
+    client.build_features(anchor_list=[_anchor(sf_dir)])
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hi = ev.select(F.max(F.unix_timestamp(F.col("ts").cast("timestamp")))).first()[0]
+    cutoff = int(hi) + 1
+    settings = MaterializationSettings(
+        name="ev_daily", feature_names=["v_sum_1h", "n_1d"],
+        backfill_time=BackfillTime(cutoff - 3600, cutoff, 3600),
+        sink_path=str(tmp_path / "sink"), online_table="ev_table")
+    report = client.materialize_features(settings)
+    assert len(report["written"]) == 2
+    assert report["online_table"] == "ev_table"
+
+    # resume: nothing rewritten
+    report2 = client.materialize_features(settings)
+    assert report2["written"] == [] and len(report2["skipped"]) == 2
+
+    # online values == latest-cutoff snapshot values
+    snap = spark.read.parquet(str(tmp_path / "sink") + f"/cutoff={cutoff}")
+    row = snap.orderBy("key0").first()
+    got = client.get_online_features("ev_table", row["key0"],
+                                     ["v_sum_1h", "n_1d", "missing"])
+    def _num(x):
+        return None if x is None else round(float(x), 6)
+    assert _num(got[0]) == _num(row["v_sum_1h"])
+    assert got[1] == row["n_1d"]
+    assert got[2] is None
+
+
+def test_client_materialize_rejects_multi_anchor(spark, sf_dir):
+    client = FeathrClient(spark)
+    a = _anchor(sf_dir)
+    b = Anchor(name="other", source=a.source, keys=["user_id"],
+               features=[SWAFeature("other_sum", "SUM", "value",
+                                    WindowSpec(60))])
+    client.build_features(anchor_list=[a, b])
+    with pytest.raises(RuntimeError, match="one\\s+anchor"):
+        client.materialize_features(MaterializationSettings(
+            name="x", feature_names=["v_sum_1h", "other_sum"],
+            backfill_time=BackfillTime(0, 0, 1)))
