@@ -318,3 +318,13 @@ class FeathrClient:
         row = client.hgetall(f"{feature_table}:{key}")
         return [decode_online_value(row[f]) if f in row else None
                 for f in feature_names]
+
+    def multi_get_online_features(self, feature_table: str,
+                                  keys: Sequence,
+                                  feature_names: Sequence[str]) -> dict:
+        """Batch form of :meth:`get_online_features` (reference
+        client.py:345-360): {key: [values...]} for each requested key."""
+        return {("#".join(str(p) for p in k)
+                 if isinstance(k, (tuple, list)) else str(k)):
+                self.get_online_features(feature_table, k, feature_names)
+                for k in keys}

@@ -145,6 +145,13 @@ def test_client_materialize_and_online_roundtrip(spark, sf_dir, tmp_path):
     assert got[1] == row["n_1d"]
     assert got[2] is None
 
+    # batch form
+    keys = [r["key0"] for r in snap.orderBy("key0").limit(3).collect()]
+    multi = client.multi_get_online_features("ev_table", keys, ["n_1d"])
+    want = {str(r["key0"]): [r["n_1d"]] for r in
+            snap.where(F.col("key0").isin(keys)).collect()}
+    assert multi == want
+
 
 def test_client_materialize_rejects_multi_anchor(spark, sf_dir):
     client = FeathrClient(spark)
