@@ -86,8 +86,10 @@ class FeathrClient:
         spark: SparkSession,
         online_store_dir: Optional[str] = None,
         online_client_factory=None,
+        registry_dir: Optional[str] = None,
     ):
         self.spark = spark
+        self._registry_dir = registry_dir
         if online_client_factory is not None:
             self._online = online_client_factory
         else:
@@ -328,3 +330,179 @@ class FeathrClient:
                  if isinstance(k, (tuple, list)) else str(k)):
                 self.get_online_features(feature_table, k, feature_names)
                 for k in keys}
+
+    # -- registry ----------------------------------------------------------
+    def _registry_path(self, project_name: str) -> str:
+        import os
+
+        if self._registry_dir is None:
+            import tempfile
+
+            self._registry_dir = tempfile.mkdtemp(prefix="feathr_registry_")
+        os.makedirs(self._registry_dir, exist_ok=True)
+        return os.path.join(self._registry_dir, f"{project_name}.json")
+
+    def register_features(self, project_name: str = "default") -> str:
+        """Persist the built feature context as registry metadata
+        (reference client.py:229-296 registers to Purview/SQL; here a
+        JSON project file under ``registry_dir`` — same metadata, local
+        backend). Code hooks (source ``preprocessing``, anchor
+        ``extractor``) are code, not metadata: anchors carrying them
+        raise, mirroring the reference shipping UDFs separately from
+        registry entries (client.py:537 _PreprocessingPyudfManager)."""
+        self._require_built()
+        import json
+        import os
+        import tempfile
+
+        for a in self.anchor_list:
+            if a.source.preprocessing is not None or a.extractor is not None:
+                raise ValueError(
+                    f"anchor {a.name!r} carries a code hook "
+                    "(preprocessing/extractor); register metadata only "
+                    "and re-attach code after get_features_from_registry")
+        doc = {
+            "project": project_name,
+            "anchors": [_anchor_to_dict(a) for a in self.anchor_list],
+            "derived": [_derived_to_dict(d)
+                        for d in self.derived_feature_list],
+            "lookups": [_lookup_to_dict(lk)
+                        for lk in self.lookup_feature_list],
+        }
+        path = self._registry_path(project_name)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+        return path
+
+    def list_registered_features(self, project_name: str = "default") -> list:
+        """Feature names registered under the project (reference
+        client.py:298-320)."""
+        doc = self._read_registry(project_name)
+        names = [f["name"] for a in doc["anchors"] for f in a["features"]]
+        names += [d["name"] for d in doc["derived"]]
+        names += [lk["name"] for lk in doc["lookups"]]
+        return names
+
+    def get_features_from_registry(self, project_name: str = "default",
+                                   return_keys: bool = False):
+        """Rebuild the feature context from the registry (reference
+        client.py:1003-1030): loads the project, calls
+        :meth:`build_features` with the restored definitions, and
+        returns ``{name: definition}`` (plus ``{name: anchor key
+        expressions}`` when ``return_keys``)."""
+        doc = self._read_registry(project_name)
+        anchors = [_anchor_from_dict(a) for a in doc["anchors"]]
+        derived = [_derived_from_dict(d) for d in doc["derived"]]
+        lookups = [_lookup_from_dict(lk) for lk in doc["lookups"]]
+        self.build_features(anchor_list=anchors,
+                            derived_feature_list=derived + lookups)
+        feats: dict = {}
+        keys: dict = {}
+        for a in anchors:
+            for f in a.features:
+                feats[f.name] = f
+                keys[f.name] = list(a.keys)
+        for d in derived + lookups:
+            feats[d.name] = d
+        return (feats, keys) if return_keys else feats
+
+    def _read_registry(self, project_name: str) -> dict:
+        import json
+        import os
+
+        path = self._registry_path(project_name)
+        if not os.path.exists(path):
+            raise KeyError(f"no registered project {project_name!r} "
+                           f"under {self._registry_dir!r}")
+        with open(path) as fh:
+            return json.load(fh)
+
+
+# -- registry (de)serialization: metadata-only, no code hooks --------------
+
+def _swa_to_dict(f: SWAFeature) -> dict:
+    return {"kind": "swa", "name": f.name, "agg": f.agg, "metric": f.metric,
+            "width": f.window.width, "delay": f.window.delay,
+            "filter": f.filter, "group_by": f.group_by, "limit": f.limit,
+            "default": f.default, "lateral_view": f.lateral_view,
+            "lateral_view_alias": f.lateral_view_alias,
+            "lateral_view_filter": f.lateral_view_filter}
+
+
+def _feature_to_dict(f) -> dict:
+    if isinstance(f, SWAFeature):
+        return _swa_to_dict(f)
+    return {"kind": "row", "name": f.name, "expr": f.expr,
+            "default": f.default}
+
+
+def _feature_from_dict(d: dict):
+    from feathr_spark.definitions import Feature, WindowSpec
+
+    if d["kind"] == "swa":
+        return SWAFeature(
+            d["name"], d["agg"], d["metric"],
+            WindowSpec(d["width"], d["delay"]), filter=d["filter"],
+            group_by=d["group_by"], limit=d["limit"], default=d["default"],
+            lateral_view=d["lateral_view"],
+            lateral_view_alias=d["lateral_view_alias"],
+            lateral_view_filter=d["lateral_view_filter"])
+    return Feature(d["name"], d["expr"], default=d["default"])
+
+
+def _anchor_to_dict(a: Anchor) -> dict:
+    return {
+        "name": a.name,
+        "source": {"path": a.source.path, "fmt": a.source.fmt,
+                   "timestamp_col": a.source.timestamp_col,
+                   "timestamp_format": a.source.timestamp_format,
+                   "options": dict(a.source.options)},
+        "keys": list(a.keys),
+        "features": [_feature_to_dict(f) for f in a.features],
+        "lateral_view": a.lateral_view,
+        "lateral_view_alias": a.lateral_view_alias,
+        "lateral_view_filter": a.lateral_view_filter,
+        "obs_keys": list(a.obs_keys) if a.obs_keys else None,
+    }
+
+
+def _anchor_from_dict(d: dict) -> Anchor:
+    from feathr_spark.definitions import Source
+
+    s = d["source"]
+    return Anchor(
+        name=d["name"],
+        source=Source(path=s["path"], fmt=s["fmt"],
+                      timestamp_col=s["timestamp_col"],
+                      timestamp_format=s["timestamp_format"],
+                      options=dict(s["options"])),
+        keys=list(d["keys"]),
+        features=[_feature_from_dict(f) for f in d["features"]],
+        lateral_view=d["lateral_view"],
+        lateral_view_alias=d["lateral_view_alias"] or "lv",
+        lateral_view_filter=d["lateral_view_filter"],
+        obs_keys=list(d["obs_keys"]) if d["obs_keys"] else None,
+    )
+
+
+def _derived_to_dict(d: DerivedFeature) -> dict:
+    return {"name": d.name, "expr": d.expr, "inputs": list(d.inputs)}
+
+
+def _derived_from_dict(d: dict) -> DerivedFeature:
+    return DerivedFeature(d["name"], d["expr"], inputs=tuple(d["inputs"]))
+
+
+def _lookup_to_dict(lk: LookupFeature) -> dict:
+    return {"name": lk.name, "base_feature": lk.base_feature,
+            "expansion_anchor": lk.expansion_anchor,
+            "expansion_feature": lk.expansion_feature,
+            "aggregation": lk.aggregation}
+
+
+def _lookup_from_dict(d: dict) -> LookupFeature:
+    return LookupFeature(d["name"], d["base_feature"],
+                         d["expansion_anchor"], d["expansion_feature"],
+                         aggregation=d["aggregation"])

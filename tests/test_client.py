@@ -164,3 +164,49 @@ def test_client_materialize_rejects_multi_anchor(spark, sf_dir):
         client.materialize_features(MaterializationSettings(
             name="x", feature_names=["v_sum_1h", "other_sum"],
             backfill_time=BackfillTime(0, 0, 1)))
+
+
+def test_client_registry_roundtrip(spark, sf_dir, tmp_path):
+    """register_features -> fresh client -> get_features_from_registry
+    rebuilds the same context: same feature list, same join results."""
+    reg = str(tmp_path / "registry")
+    c1 = FeathrClient(spark, registry_dir=reg)
+    c1.build_features(
+        anchor_list=[_anchor(sf_dir)],
+        derived_feature_list=[
+            DerivedFeature("v_avg_like", "v_sum_1h / greatest(n_1d, 1)",
+                           inputs=("v_sum_1h", "n_1d"))])
+    path = c1.register_features("proj_a")
+    assert path.endswith("proj_a.json")
+
+    c2 = FeathrClient(spark, registry_dir=reg)
+    assert sorted(c2.list_registered_features("proj_a")) == [
+        "n_1d", "v_avg_like", "v_sum_1h"]
+    feats, keys = c2.get_features_from_registry("proj_a", return_keys=True)
+    assert keys["v_sum_1h"] == ["user_id"]
+    assert feats["v_sum_1h"].window.width == 3600
+
+    settings = ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                                   timestamp_format="timestamp")
+    q = FeatureQuery(["v_avg_like"])
+    a = c1.get_offline_features(_obs(spark, sf_dir), q, settings)
+    b = c2.get_offline_features(_obs(spark, sf_dir), q, settings)
+    ca = sorted((r["event_id"],
+                 None if r["v_avg_like"] is None else round(r["v_avg_like"], 6))
+                for r in a.select("event_id", "v_avg_like").collect())
+    cb = sorted((r["event_id"],
+                 None if r["v_avg_like"] is None else round(r["v_avg_like"], 6))
+                for r in b.select("event_id", "v_avg_like").collect())
+    assert ca == cb
+
+    with pytest.raises(KeyError, match="no registered project"):
+        c2.get_features_from_registry("nope")
+
+
+def test_client_registry_rejects_code_hooks(spark, sf_dir, tmp_path):
+    a = _anchor(sf_dir)
+    a.source.preprocessing = lambda df: df
+    c = FeathrClient(spark, registry_dir=str(tmp_path / "reg"))
+    c.build_features(anchor_list=[a])
+    with pytest.raises(ValueError, match="code hook"):
+        c.register_features()
