@@ -978,6 +978,24 @@ def q_stream_running(spark, sf_dir):
     )
 
 
+def q_tokenize_docs(spark, sf_dir):
+    """Vocabulary tokenizer end-to-end: build a word vocab over the raw
+    documents table (count desc / token asc dense ids, distributed
+    top-K) and encode every document into the engine's north-star
+    pre-tokenized shape (doc_id, tokens array<int>, n_tok) via the
+    zero-shuffle broadcast-dict Arrow kernel (operators/text.py::
+    build_vocabulary / encode_tokens). Token arrays compared
+    ELEMENT-FOR-ELEMENT as JSON."""
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocabulary(docs, max_size=500, min_count=2)
+    out = encode_tokens(docs, vocab, keep_cols=())
+    return out.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+        F.to_json("tokens").alias("tokens_json"))
+
+
 def q_client_flow(spark, sf_dir):
     """Reference Python-client façade end-to-end
     (feathr_spark/client.py; reference feathr_project/feathr/client.py:
@@ -1559,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "tokenize_docs": q_tokenize_docs,
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
@@ -2280,6 +2299,33 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n, round(sum(value), 4) AS v_sum
             FROM w WHERE t >= ws AND t < ws + 3600
             GROUP BY 1, 2
+        """,
+        "tokenize_docs": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token,
+                           generate_subscripts(ws, 1) AS pos FROM w),
+            cnt AS (SELECT token, count(*) AS n FROM tok
+                    GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+                FROM cnt ORDER BY n DESC, token LIMIT 500
+            ),
+            enc AS (
+                SELECT t.doc_id, list(coalesce(v.tid, 0) ORDER BY t.pos) AS toks
+                FROM tok t LEFT JOIN vocab v USING (token)
+                GROUP BY t.doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(len(e.toks), 0) AS n_tok,
+                   coalesce(to_json(e.toks), '[]') AS tokens_json
+            FROM w LEFT JOIN enc e USING (doc_id)
         """,
         "client_flow": """
             SELECT event_id, round(s, 4) AS sum_1h, c AS cnt_1h,

@@ -251,3 +251,97 @@ def url_features(url: Column | str) -> dict[str, Column]:
 def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     cols = url_features(url_col)
     return df.select("*", *[v.alias(k) for k, v in cols.items()])
+
+
+# ---------------------------------------------------------------------------
+# vocabulary tokenizer: raw documents -> the pre-tokenized corpus shape
+# ---------------------------------------------------------------------------
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int = 32768,
+    min_count: int = 1,
+) -> DataFrame:
+    """Word-level vocabulary ``(token string, token_id int)`` over the
+    corpus: ``token_id`` 1..N dense by (count DESC, token ASC); 0 is
+    reserved for OOV. This is the "train a tokenizer vocab" step of a
+    training-data pipeline, word-granular (the engine's BPE_REGEX
+    pre-tokenizer is the piece-granular alternative).
+
+    Scale shape: one vocabulary-bounded count aggregate (map-side
+    partial combine — the same shuffle as :func:`ngram_frequencies`),
+    then a distributed top-K (``TakeOrderedAndProject``: each partition
+    keeps its own max_size prefix, only prefixes reach the driver-side
+    merge) and a row_number over the ≤max_size survivors — never a
+    global sort of the full distinct-word set.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(_words(normalize_text(F.col(text_col))))
+                  .alias("token"))
+        .groupBy("token").count()
+        .where(F.col("count") >= min_count)
+    )
+    order = [F.desc("count"), F.asc("token")]
+    top = counts.orderBy(*order).limit(max_size)
+    w = Window.orderBy(*order)  # ≤ max_size rows: single task, bounded
+    return top.select(
+        "token", F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = ("source",),
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode raw documents into the pre-tokenized corpus shape
+    ``(id_col, *keep_cols, tokens array<int>, n_tok int)`` — the
+    engine's north-star input table, built from raw text by the engine
+    itself.
+
+    Normalization + word split happen JVM-side (identical regex
+    semantics to every other text operator); the word->id map is the
+    vocabulary broadcast as a plain dict (bounded by
+    ``build_vocabulary(max_size=...)``) applied in one vectorized Arrow
+    ``mapInPandas`` pass — flatten words, one ``Series.map``, re-split
+    by per-row lengths. Row-local: ZERO shuffle (the explode + join +
+    re-assemble alternative shuffles every token of the corpus; this
+    touches each row once where it sits).
+    """
+    import numpy as np
+    import pandas as pd
+
+    mapping = {r["token"]: r["token_id"] for r in vocab.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    keeps = [c for c in keep_cols if c in df.columns]
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keeps],
+        _words(normalize_text(F.col(text_col))).alias("__words"))
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in base.schema.fields if f.name != "__words"]
+        + ["tokens array<int>", "n_tok int"])
+
+    def _encode(batches):
+        v = bc.value
+        for pdf in batches:
+            words = pdf["__words"]
+            lens = words.map(len).to_numpy(dtype="int64")
+            if lens.sum():
+                flat = pd.Series(np.concatenate(words.to_numpy()))
+                ids = flat.map(v).fillna(oov_id).astype("int32").to_numpy()
+            else:
+                ids = np.empty(0, dtype="int32")
+            cuts = np.cumsum(lens)[:-1]
+            res = pdf.drop(columns=["__words"])
+            res["tokens"] = [a.tolist() for a in np.split(ids, cuts)]
+            res["n_tok"] = lens.astype("int32")
+            yield res
+
+    return base.mapInPandas(_encode, schema=out_schema)

@@ -345,3 +345,35 @@ def test_incremental_exact_requires_shingles(spark, incr_split):
     fp = minhash_signature(corpus).select("doc_id", "minhash")
     with pytest.raises(ValueError, match="shingle_set"):
         minhash_incremental_dedup(new, fp, verify="exact")
+
+
+def test_build_vocabulary_rank_and_encode(spark):
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c", "s"), (2, "a b, D!", "s"), (3, "", "s"),
+         (4, "zz yy", "s")],
+        "doc_id long, text string, source string")
+    vocab = build_vocabulary(docs, max_size=3, min_count=2)
+    got = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # counts: b=4, a=3, others 1 (below min_count) -> dense ids by
+    # (count desc, token asc)
+    assert got == {"b": 1, "a": 2}
+
+    out = {r["doc_id"]: (r["tokens"], r["n_tok"]) for r in
+           encode_tokens(docs, vocab).collect()}
+    assert out[1] == ([1, 1, 1, 2, 2, 0], 6)      # c -> OOV 0
+    assert out[2] == ([2, 1, 0], 3)               # punctuation stripped
+    assert out[3] == ([], 0)                      # empty doc kept
+    assert out[4] == ([0, 0], 2)
+
+
+def test_build_vocabulary_tie_break_lexicographic(spark):
+    from feathr_spark.operators.text import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "pear apple pear apple", "s")],
+        "doc_id long, text string, source string")
+    v = {r["token"]: r["token_id"] for r in
+         build_vocabulary(docs, max_size=10).collect()}
+    assert v == {"apple": 1, "pear": 2}
