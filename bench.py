@@ -46,6 +46,7 @@ HEADLINE = [
     "lookup_union_agg",
     "derived_features",
     "token_counts",
+    "tokenize_docs",          # vocab build + Arrow encode (tokens payload)
     "quality_features",
     "minhash_clusters",
     "simhash_pairs",

@@ -14,6 +14,10 @@ Modes
                  onto the observation table; writes one parquet output.
 ``materialize``  per-cutoff snapshot generation with lineage manifests;
                  re-running resumes, skipping committed partitions.
+``tokenize``     build a word vocabulary over a raw documents table and
+                 encode it into the pre-tokenized corpus shape
+                 (doc_id, tokens array<int>, n_tok, source) — the input
+                 the join/materialize modes consume.
 
 With ``--synthesize SF`` the deterministic corpus generator replaces the
 input paths (same generator at any scale — the 10^12-row cluster run
@@ -107,10 +111,36 @@ def cmd_materialize(spark, args) -> dict:
     return report
 
 
+def cmd_tokenize(spark, args) -> dict:
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = spark.read.parquet(args.docs)
+    t0 = time.monotonic()
+    vocab = build_vocabulary(docs, max_size=args.vocab_size,
+                             min_count=args.min_count)
+    vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+    vocab = spark.read.parquet(f"{args.output}/vocab")  # one vocab build
+    out = encode_tokens(docs, vocab)
+    out.write.mode("overwrite").parquet(f"{args.output}/tokens")
+    n = spark.read.parquet(f"{args.output}/tokens").count()
+    wall = time.monotonic() - t0
+    return {"mode": "tokenize", "rows": n,
+            "vocab_size": vocab.count(), "wall_s": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1), "output": args.output}
+
+
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="mode", required=True)
     common = dict(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    pt = sub.add_parser("tokenize", **common)
+    pt.add_argument("--docs", required=True,
+                    help="raw documents table path (doc_id, text, source)")
+    pt.add_argument("--output", required=True,
+                    help="writes <output>/vocab and <output>/tokens")
+    pt.add_argument("--vocab-size", type=int, default=32_768)
+    pt.add_argument("--min-count", type=int, default=2)
+    pt.add_argument("--cpus", type=int, default=None)
     for name in ("join", "materialize"):
         p = sub.add_parser(name, **common)
         p.add_argument("--fact", help="fact table path (doc_id, tokens, n_tok, source, event_ts)")
@@ -146,7 +176,8 @@ def main(argv=None) -> dict:
         cpus = None if SparkConf().contains("spark.master") else args.cpus
         spark = get_spark(cpus=cpus, app_name="corpus_features")
 
-    report = cmd_join(spark, args) if args.mode == "join" else cmd_materialize(spark, args)
+    report = {"join": cmd_join, "materialize": cmd_materialize,
+              "tokenize": cmd_tokenize}[args.mode](spark, args)
     print(json.dumps(report))
     return report
 

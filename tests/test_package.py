@@ -80,3 +80,21 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     cols = {r[0] for r in duckdb.sql(
         f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/*.parquet')").fetchall()}
     assert {"doc_id", "tok_sum_1d", "src_cnt_7d", "last_tokens"} <= cols
+
+
+def test_job_tokenize_mode(tmp_path, sf_dir):
+    """jobs CLI tokenize mode: documents -> vocab + pre-tokenized corpus."""
+    import json
+    import subprocess
+
+    out = tmp_path / "tok"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_features.py"),
+         "tokenize", "--docs", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--vocab-size", "200", "--cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == 500 and rep["vocab_size"] > 0
+    assert os.path.exists(out / "tokens") and os.path.exists(out / "vocab")
