@@ -117,9 +117,11 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
     t0 = time.monotonic()
     pipeline()
     cold = time.monotonic() - t0
-    t0 = time.monotonic()
-    pipeline()
-    dt = time.monotonic() - t0
+    dt = float("inf")
+    for _ in range(2):  # min-of-2 warm runs: burst rejection (see battery)
+        t0 = time.monotonic()
+        pipeline()
+        dt = min(dt, time.monotonic() - t0)
     fact.unpersist()
     obs.unpersist()
     return dt, cold, n_obs
@@ -149,16 +151,18 @@ def main() -> None:
 
     spark.range(1000).select(_warm(_F.col("id").cast("double"))).count()
 
-    # min of 2 iterations per query: this host is time-shared with up to
-    # 2x interference bursts — min rejects them (same protocol as the
-    # scaling evidence in BENCH/run_scaling.py). clearCache between
-    # iterations drops DataFrames persisted inside the queries, so both
-    # iterations do the full work (plan, shuffle, kernels); only session
+    # min of 3 iterations per query: this host is time-shared with
+    # multi-second interference bursts (measured 2-4x swings on single
+    # entries across same-code runs) — min over 3 rejects a burst even
+    # when it spans two consecutive iterations (same protocol family as
+    # the scaling evidence in BENCH/run_scaling.py). clearCache between
+    # iterations drops DataFrames persisted inside the queries, so every
+    # iteration does the full work (plan, shuffle, kernels); only session
     # warmth (JIT, workers) carries — as on a long-lived cluster.
     for name in HEADLINE:
         fn = qmap[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.monotonic()
             _force(fn(spark, SF_DIR))
