@@ -996,6 +996,62 @@ def q_tokenize_docs(spark, sf_dir):
         F.to_json("tokens").alias("tokens_json"))
 
 
+def _tokenized_docs(spark, sf_dir, max_size=20, min_count=2):
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocabulary(docs, max_size=max_size, min_count=min_count)
+    return encode_tokens(docs, vocab, keep_cols=()), vocab
+
+
+def q_token_stats(spark, sf_dir):
+    """One-row corpus summary over the pre-tokenized shape: total /
+    distinct / OOV token counts, top-10 coverage, sequence-length
+    percentiles (operators/tokens.py::corpus_token_stats). Vocab
+    capped at 20 so the OOV path is exercised (token_id 0)."""
+    from feathr_spark.operators.tokens import corpus_token_stats
+
+    enc, _ = _tokenized_docs(spark, sf_dir)
+    s = corpus_token_stats(enc, top_k=10)
+    return s.select(
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        F.col("oov_tokens").cast("long").alias("oov_tokens"),
+        F.round("oov_share", 6).alias("oov_share"),
+        F.round("topk_coverage", 6).alias("topk_coverage"),
+        F.round("mean_len", 6).alias("mean_len"),
+        F.round("p50_len", 4).alias("p50_len"),
+        F.round("p90_len", 4).alias("p90_len"),
+        F.col("max_len").cast("long").alias("max_len"))
+
+
+def q_token_histogram(spark, sf_dir):
+    """Full token-frequency table (token_id, n, share) over the
+    pre-tokenized corpus — the vocabulary-bounded explode+groupBy
+    shuffle with a broadcast grand-total join
+    (operators/tokens.py::token_histogram)."""
+    from feathr_spark.operators.tokens import token_histogram
+
+    enc, _ = _tokenized_docs(spark, sf_dir)
+    h = token_histogram(enc)
+    return h.select(
+        F.col("token_id").cast("long").alias("token_id"),
+        F.col("n").cast("long").alias("n"),
+        F.round("share", 6).alias("share"))
+
+
+def q_detokenize(spark, sf_dir):
+    """Decode round-trip: token-id arrays back to text through the
+    broadcast id->token dict in one Arrow pass, OOV -> '<unk>'
+    (operators/tokens.py::decode_tokens — the exact inverse kernel of
+    encode_tokens)."""
+    from feathr_spark.operators.tokens import decode_tokens
+
+    enc, vocab = _tokenized_docs(spark, sf_dir)
+    return decode_tokens(enc, vocab).select("doc_id", "text")
+
+
 def q_client_flow(spark, sf_dir):
     """Reference Python-client façade end-to-end
     (feathr_spark/client.py; reference feathr_project/feathr/client.py:
@@ -1578,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) never driver-checked before round 3 ----------------------
         "tokenize_docs": q_tokenize_docs,
+        "token_stats": q_token_stats,
+        "token_histogram": q_token_histogram,
+        "detokenize": q_detokenize,
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
@@ -2326,6 +2385,101 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(len(e.toks), 0) AS n_tok,
                    coalesce(to_json(e.toks), '[]') AS tokens_json
             FROM w LEFT JOIN enc e USING (doc_id)
+        """,
+        "token_stats": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token,
+                           generate_subscripts(ws, 1) AS pos FROM w),
+            cnt AS (SELECT token, count(*) AS n FROM tok
+                    GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+                FROM cnt ORDER BY n DESC, token LIMIT 20
+            ),
+            enc AS (SELECT t.doc_id, coalesce(v.tid, 0) AS tid
+                    FROM tok t LEFT JOIN vocab v USING (token)),
+            hist AS (SELECT tid, count(*) AS n FROM enc GROUP BY tid),
+            lens AS (SELECT d.doc_id, coalesce(l.n_tok, 0) AS n_tok
+                     FROM documents d LEFT JOIN
+                          (SELECT doc_id, count(*) AS n_tok FROM enc
+                           GROUP BY doc_id) l USING (doc_id)),
+            g AS (SELECT sum(n) AS total_tokens,
+                         count(*) AS distinct_tokens,
+                         sum(CASE WHEN tid = 0 THEN n ELSE 0 END) AS oov_tokens
+                  FROM hist),
+            topk AS (SELECT coalesce(sum(n), 0) AS tn FROM
+                     (SELECT n FROM hist ORDER BY n DESC, tid ASC LIMIT 10)),
+            l AS (SELECT count(*) AS total_docs, avg(n_tok) AS mean_len,
+                         quantile_cont(n_tok, 0.5) AS p50_len,
+                         quantile_cont(n_tok, 0.9) AS p90_len,
+                         max(n_tok) AS max_len FROM lens)
+            SELECT l.total_docs, g.total_tokens, g.distinct_tokens,
+                   g.oov_tokens,
+                   round(g.oov_tokens * 1.0 / g.total_tokens, 6) AS oov_share,
+                   round(topk.tn * 1.0 / g.total_tokens, 6) AS topk_coverage,
+                   round(l.mean_len, 6) AS mean_len,
+                   round(l.p50_len, 4) AS p50_len,
+                   round(l.p90_len, 4) AS p90_len,
+                   l.max_len
+            FROM g, topk, l
+        """,
+        "token_histogram": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+            cnt AS (SELECT token, count(*) AS n FROM tok
+                    GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+                FROM cnt ORDER BY n DESC, token LIMIT 20
+            ),
+            enc AS (SELECT coalesce(v.tid, 0) AS tid
+                    FROM tok t LEFT JOIN vocab v USING (token)),
+            hist AS (SELECT tid, count(*) AS n FROM enc GROUP BY tid)
+            SELECT tid AS token_id, n,
+                   round(n * 1.0 / (SELECT sum(n) FROM hist), 6) AS share
+            FROM hist
+        """,
+        "detokenize": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token,
+                           generate_subscripts(ws, 1) AS pos FROM w),
+            cnt AS (SELECT token, count(*) AS n FROM tok
+                    GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+                FROM cnt ORDER BY n DESC, token LIMIT 20
+            ),
+            dec AS (
+                SELECT t.doc_id,
+                       string_agg(CASE WHEN v.tid IS NULL THEN '<unk>'
+                                       ELSE t.token END, ' '
+                                  ORDER BY t.pos) AS text
+                FROM tok t LEFT JOIN vocab v USING (token)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(dec.text, '') AS text
+            FROM documents d LEFT JOIN dec USING (doc_id)
         """,
         "client_flow": """
             SELECT event_id, round(s, 4) AS sum_1h, c AS cnt_1h,

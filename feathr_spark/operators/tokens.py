@@ -1,0 +1,130 @@
+"""Operators over the pre-tokenized training corpus
+``(doc_id, tokens array<int>, n_tok, source)`` — the engine's
+north-star input shape (BASELINE input_hint; reference analogue:
+feature sources keyed by entity id, feathr-impl
+``offline/source/accessor/DataSourceAccessor.scala``).
+
+Token-frequency aggregation is the canonical vocabulary-bounded
+shuffle: ``explode`` + ``groupBy(token_id)`` partially aggregates
+map-side, so the exchange carries at most ``|vocab|`` rows per task
+regardless of corpus size — at 10^12 sequences the shuffle volume is
+``tasks × |vocab|``, not ``total_tokens``. Per-row decode mirrors
+:func:`feathr_spark.operators.text.encode_tokens`: one broadcast dict
+and one vectorized Arrow pass, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feathr_spark.session import track_cache
+
+
+def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Token-frequency table ``(token_id, n, share)`` over a
+    pre-tokenized corpus.
+
+    Plan: explode → hash-aggregate on ``token_id`` (map-side partial
+    combine bounds the exchange at |vocab| rows/task), then the grand
+    total joins back as a broadcast of one row — never a global-window
+    single-partition pass.
+    """
+    counts = (df.select(F.explode(F.col(tokens_col)).alias("token_id"))
+                .groupBy("token_id").agg(F.count("*").alias("n")))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("token_id", "n",
+                    (F.col("n") / F.col("__total")).alias("share")))
+
+
+def corpus_token_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    oov_id: int = 0,
+    top_k: int = 100,
+) -> DataFrame:
+    """One-row corpus summary: total/distinct/OOV token counts, the
+    occurrence share covered by the ``top_k`` most frequent tokens
+    (count DESC, token_id ASC — the vocabulary's own ordering), and
+    sequence-length stats (mean / p50 / p90 / max of ``n_tok_col``).
+
+    The token-frequency table is computed once and persisted (it is
+    vocabulary-bounded — a few MB even for a 100k vocab) so the global
+    aggregate and the distributed top-K (``TakeOrderedAndProject``)
+    reuse it instead of re-exploding the corpus; sequence-length stats
+    are one partial-agg scan of the unexploded table.
+    """
+    counts = track_cache(
+        df.select(F.explode(F.col(tokens_col)).alias("t"))
+          .groupBy("t").agg(F.count("*").alias("n"))
+          .persist())
+    g = counts.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.sum(F.when(F.col("t") == oov_id, F.col("n")).otherwise(F.lit(0)))
+         .alias("oov_tokens"))
+    topk = (counts.orderBy(F.desc("n"), F.asc("t")).limit(top_k)
+                  .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__topk_n")))
+    lens = df.agg(
+        F.count("*").alias("total_docs"),
+        F.avg(F.col(n_tok_col)).alias("mean_len"),
+        F.expr(f"percentile({n_tok_col}, 0.5)").alias("p50_len"),
+        F.expr(f"percentile({n_tok_col}, 0.9)").alias("p90_len"),
+        F.max(F.col(n_tok_col)).alias("max_len"))
+    return (g.crossJoin(topk).crossJoin(lens).select(
+        "total_docs", "total_tokens", "distinct_tokens", "oov_tokens",
+        (F.col("oov_tokens") / F.col("total_tokens")).alias("oov_share"),
+        (F.col("__topk_n") / F.col("total_tokens")).alias("topk_coverage"),
+        "mean_len", "p50_len", "p90_len", "max_len"))
+
+
+def decode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
+    text_col: str = "text",
+    oov_token: str = "<unk>",
+) -> DataFrame:
+    """Inverse of :func:`feathr_spark.operators.text.encode_tokens`:
+    token-id arrays back to space-joined text via the broadcast
+    ``token_id -> token`` dict in one vectorized Arrow ``mapInPandas``
+    pass — flatten ids, one ``Series.map``, re-split by per-row
+    lengths, join. Row-local: ZERO shuffle (the explode + join +
+    collect_list alternative shuffles every token of the corpus and
+    needs a position sort to reassemble).
+    """
+    import numpy as np
+    import pandas as pd
+
+    mapping = {r["token_id"]: r["token"] for r in vocab.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    keeps = [c for c in keep_cols if c in df.columns]
+    base = df.select(F.col(id_col), *[F.col(c) for c in keeps],
+                     F.col(tokens_col).alias("__ids"))
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in base.schema.fields if f.name != "__ids"]
+        + [f"`{text_col}` string"])
+
+    def _decode(batches):
+        v = bc.value
+        for pdf in batches:
+            ids = pdf["__ids"]
+            lens = ids.map(len).to_numpy(dtype="int64")
+            if lens.sum():
+                flat = pd.Series(np.concatenate(ids.to_numpy()))
+                words = flat.map(v).fillna(oov_token).to_numpy()
+            else:
+                words = np.empty(0, dtype=object)
+            cuts = np.cumsum(lens)[:-1]
+            res = pdf.drop(columns=["__ids"])
+            res[text_col] = [" ".join(a) for a in np.split(words, cuts)]
+            yield res
+
+    return base.mapInPandas(_decode, schema=out_schema)

@@ -1,0 +1,80 @@
+"""Unit tests for operators over the pre-tokenized corpus shape
+(operators/tokens.py): histogram, corpus stats, decode round-trip."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from feathr_spark.operators.text import build_vocabulary, encode_tokens
+from feathr_spark.operators.tokens import (corpus_token_stats, decode_tokens,
+                                           token_histogram)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "web"),
+        (1, "the dog sat", "web"),
+        (2, "a rare xylophone", "books"),   # 'a'/'rare'/'xylophone' 1x -> OOV
+        (3, "", "web"),                      # empty doc
+        (4, "the the the", "books"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def enc_vocab(docs):
+    vocab = build_vocabulary(docs, max_size=100, min_count=2)
+    return encode_tokens(docs, vocab, keep_cols=("source",)), vocab
+
+
+def test_histogram_counts_and_shares(enc_vocab):
+    enc, _ = enc_vocab
+    hist = {r["token_id"]: (r["n"], r["share"])
+            for r in token_histogram(enc).collect()}
+    total = sum(n for n, _ in hist.values())
+    # corpus has 15 words total (doc3 empty)
+    assert total == 15
+    # 'the' occurs 6x and is token_id 1 (highest count)
+    assert hist[1][0] == 6
+    # OOV bucket: 'on','a','rare','xylophone' each 1x -> 4 (min_count=2
+    # drops them; 'cat','dog','mat' also 1x -> OOV too) = 7
+    assert hist[0][0] == 7
+    assert abs(sum(s for _, s in hist.values()) - 1.0) < 1e-9
+
+
+def test_corpus_stats(enc_vocab):
+    enc, _ = enc_vocab
+    s = corpus_token_stats(enc, top_k=2).collect()[0]
+    assert s["total_docs"] == 5
+    assert s["total_tokens"] == 15
+    assert s["oov_tokens"] == 7
+    assert s["max_len"] == 6
+    assert abs(s["oov_share"] - 7 / 15) < 1e-9
+    # top-2 buckets by count: OOV(7) + the(6) = 13
+    assert abs(s["topk_coverage"] - 13 / 15) < 1e-9
+
+
+def test_decode_roundtrip_exact_for_in_vocab(docs, enc_vocab):
+    enc, vocab = enc_vocab
+    dec = decode_tokens(enc, vocab, keep_cols=("source",))
+    # re-encoding the decoded text reproduces the ids exactly:
+    # in-vocab words map back to themselves; '<unk>' is itself OOV
+    enc2 = encode_tokens(dec, vocab, keep_cols=())
+    mism = (enc.select("doc_id", F.to_json("tokens").alias("j"))
+               .join(enc2.select("doc_id", F.to_json("tokens").alias("j2")),
+                     "doc_id")
+               .where(F.col("j") != F.col("j2")).count())
+    assert mism == 0
+    texts = {r["doc_id"]: r["text"] for r in dec.collect()}
+    assert texts[3] == ""
+    assert texts[4] == "the the the"
+    assert texts[0].startswith("the")
+    assert "<unk>" in texts[2]
+
+
+def test_decode_preserves_keep_cols(enc_vocab):
+    enc, vocab = enc_vocab
+    dec = decode_tokens(enc, vocab, keep_cols=("source",))
+    assert set(dec.columns) == {"doc_id", "source", "text"}
