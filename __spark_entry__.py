@@ -1052,6 +1052,52 @@ def q_detokenize(spark, sf_dir):
     return decode_tokens(enc, vocab).select("doc_id", "text")
 
 
+def q_feature_drift(spark, sf_dir):
+    """PSI/KL drift of the numeric `value` feature between the first
+    and second half of January (operators/monitor.py::feature_drift):
+    equal-width bins over the global min/max, Laplace smoothing 0.5.
+    The bin exchange is bounded at features*2*bins rows/task."""
+    from feathr_spark.operators.monitor import feature_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = feature_drift(ev, ["value"],
+                        current=F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+                        bins=10)
+    return out.select("feature",
+                      F.round("psi", 6).alias("psi"),
+                      F.round("kl", 6).alias("kl"),
+                      F.col("n_ref").cast("long").alias("n_ref"),
+                      F.col("n_cur").cast("long").alias("n_cur"))
+
+
+def q_category_drift(spark, sf_dir):
+    """PSI/KL drift of the categorical `event_type` feature over the
+    union category support (operators/monitor.py::category_drift)."""
+    from feathr_spark.operators.monitor import category_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = category_drift(ev, ["event_type"],
+                         current=F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    return out.select("feature",
+                      F.round("psi", 6).alias("psi"),
+                      F.round("kl", 6).alias("kl"),
+                      F.col("n_ref").cast("long").alias("n_ref"),
+                      F.col("n_cur").cast("long").alias("n_cur"))
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled sampling mixture p_i ∝ share_i^0.7 over the
+    documents domains (operators/corpus.py::temperature_mixture)."""
+    from feathr_spark.operators.corpus import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, alpha=0.7)
+    return out.select("source", "n_docs", "n_tokens",
+                      F.round("share", 6).alias("share"),
+                      F.round("p_target", 6).alias("p_target"),
+                      F.round("weight", 6).alias("weight"))
+
+
 def q_client_flow(spark, sf_dir):
     """Reference Python-client façade end-to-end
     (feathr_spark/client.py; reference feathr_project/feathr/client.py:
@@ -1637,6 +1683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "token_histogram": q_token_histogram,
         "detokenize": q_detokenize,
+        "feature_drift": q_feature_drift,
+        "category_drift": q_category_drift,
+        "temperature_mixture": q_temperature_mixture,
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
@@ -2819,6 +2868,76 @@ def oracle_sql() -> dict[str, str]:
                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                        '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
             FROM inj
+        """,
+        "feature_drift": """
+            WITH rng AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+            b AS (
+                SELECT least(9, floor((value - rng.mn)
+                                      / ((rng.mx - rng.mn) / 10))::INT) AS bin,
+                       (ts >= TIMESTAMP '2024-01-16') AS cur
+                FROM events, rng WHERE value IS NOT NULL
+            ),
+            cells AS (
+                SELECT bin,
+                       sum(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref,
+                       sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+                FROM b GROUP BY bin
+            ),
+            tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cells),
+            terms AS (
+                SELECT ((n_cur + 0.5) / (t_cur + 0.5 * 10)) AS p_cur,
+                       ((n_ref + 0.5) / (t_ref + 0.5 * 10)) AS p_ref
+                FROM cells, tot
+            )
+            SELECT 'value' AS feature,
+                   round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+                   round(sum(p_cur * ln(p_cur / p_ref)), 6) AS kl,
+                   (SELECT t_ref FROM tot) AS n_ref,
+                   (SELECT t_cur FROM tot) AS n_cur
+            FROM terms
+        """,
+        "category_drift": """
+            WITH cells AS (
+                SELECT event_type AS bin,
+                       sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 0 ELSE 1 END) AS n_ref,
+                       sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 1 ELSE 0 END) AS n_cur
+                FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+            ),
+            tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+                           count(*) AS cells FROM cells),
+            terms AS (
+                SELECT ((n_cur + 0.5) / (t_cur + 0.5 * cells)) AS p_cur,
+                       ((n_ref + 0.5) / (t_ref + 0.5 * cells)) AS p_ref
+                FROM cells, tot
+            )
+            SELECT 'event_type' AS feature,
+                   round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+                   round(sum(p_cur * ln(p_cur / p_ref)), 6) AS kl,
+                   (SELECT t_ref FROM tot) AS n_ref,
+                   (SELECT t_cur FROM tot) AS n_cur
+            FROM terms
+        """,
+        "temperature_mixture": r"""
+            WITH t AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                           w -> w <> '')))::BIGINT AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT source, n_docs, n_tokens,
+                       n_tokens::DOUBLE / sum(n_tokens) OVER () AS share
+                FROM t
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(share, 6) AS share,
+                   round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER (), 6)
+                       AS p_target,
+                   round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER () / share,
+                         6) AS weight
+            FROM s
         """,
         "mixture_weights": r"""
             WITH t AS (

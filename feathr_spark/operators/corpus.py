@@ -327,6 +327,39 @@ def mixture_weights(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str = "source",
+    n_tok_col: str | Column | None = None,
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the multilingual-pretraining
+    exponential-smoothing rule, p_i ∝ share_i^alpha): instead of a
+    hand-written target like :func:`mixture_weights`, the target is
+    derived from the corpus itself — alpha < 1 up-weights small domains,
+    alpha = 1 keeps natural proportions, alpha = 0 is uniform. Returns
+    ``(strata, n_docs, n_tokens, share, p_target, weight)`` with
+    ``weight = p_target / share``. One aggregation; the normalizations
+    window over #domains rows, not data."""
+    ntok = (F.col(n_tok_col) if isinstance(n_tok_col, str)
+            else n_tok_col if n_tok_col is not None
+            else token_count(text_col))
+    agg = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok.cast("long")).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    with_share = agg.withColumn(
+        "share", F.col("n_tokens") / F.sum("n_tokens").over(total))
+    powed = F.pow(F.col("share"), F.lit(float(alpha)))
+    with_p = with_share.withColumn("p_target",
+                                   powed / F.sum(powed).over(total))
+    return with_p.select(
+        strata_col, "n_docs", "n_tokens", "share", "p_target",
+        (F.col("p_target") / F.col("share")).alias("weight"))
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str = "source",
