@@ -1098,6 +1098,21 @@ def q_temperature_mixture(spark, sf_dir):
                       F.round("weight", 6).alias("weight"))
 
 
+def q_importance_scores(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): per-document
+    unigram log-likelihood ratio between the src0 target domain and
+    the full raw corpus, vocab-bounded distributions + one OOV cell,
+    broadcast-dict Arrow scoring with zero shuffle
+    (operators/selection.py::importance_scores)."""
+    from feathr_spark.operators.selection import importance_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    out = importance_scores(docs, target, vocab_size=20, min_count=2)
+    return out.select("doc_id", "source",
+                      F.round("importance", 6).alias("importance"))
+
+
 def q_client_flow(spark, sf_dir):
     """Reference Python-client façade end-to-end
     (feathr_spark/client.py; reference feathr_project/feathr/client.py:
@@ -1686,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_drift": q_feature_drift,
         "category_drift": q_category_drift,
         "temperature_mixture": q_temperature_mixture,
+        "importance_scores": q_importance_scores,
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
@@ -2938,6 +2954,57 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER () / share,
                          6) AS weight
             FROM s
+        """,
+        "importance_scores": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+            rawcnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            tgtcnt AS (
+                SELECT t.token, count(*) AS n
+                FROM tok t JOIN documents d USING (doc_id)
+                WHERE d.source = 'src0' GROUP BY t.token
+            ),
+            vocab AS (SELECT token FROM rawcnt WHERE n >= 2
+                      ORDER BY n DESC, token LIMIT 20),
+            cells AS (
+                SELECT v.token, coalesce(r.n, 0) AS n_raw,
+                       coalesce(t.n, 0) AS n_tgt
+                FROM vocab v LEFT JOIN rawcnt r USING (token)
+                             LEFT JOIN tgtcnt t USING (token)
+            ),
+            tots AS (SELECT (SELECT sum(n) FROM rawcnt) AS tot_raw,
+                            (SELECT coalesce(sum(n), 0) FROM tgtcnt) AS tot_tgt,
+                            (SELECT sum(n_raw) FROM cells) AS in_raw,
+                            (SELECT sum(n_tgt) FROM cells) AS in_tgt,
+                            (SELECT count(*) + 1 FROM cells) AS n_cells),
+            ratios AS (
+                SELECT token,
+                       ln(((n_tgt + 0.5) / (tot_tgt + 0.5 * n_cells))
+                          / ((n_raw + 0.5) / (tot_raw + 0.5 * n_cells))) AS r
+                FROM cells, tots
+            ),
+            oov AS (
+                SELECT ln(((tot_tgt - in_tgt + 0.5) / (tot_tgt + 0.5 * n_cells))
+                          / ((tot_raw - in_raw + 0.5)
+                             / (tot_raw + 0.5 * n_cells))) AS r
+                FROM tots
+            ),
+            scores AS (
+                SELECT t.doc_id,
+                       sum(coalesce(rt.r, (SELECT r FROM oov))) AS s
+                FROM tok t LEFT JOIN ratios rt USING (token)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, d.source,
+                   round(coalesce(s.s, 0), 6) AS importance
+            FROM documents d LEFT JOIN scores s USING (doc_id)
         """,
         "mixture_weights": r"""
             WITH t AS (

@@ -1,0 +1,66 @@
+"""Unit tests for DSIR-style importance scoring
+(operators/selection.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from feathr_spark.operators.selection import (importance_scores,
+                                              importance_threshold)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # target-looking docs are full of 'spark'; raw background is 'cat'
+    rows = ([(i, "spark spark join", "tgt") for i in range(10)]
+            + [(100 + i, "cat cat sat", "bg") for i in range(30)]
+            + [(999, "", "bg")])
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_vocab_scores_separate_domains(corpus):
+    target = corpus.where(F.col("source") == "tgt")
+    out = importance_scores(corpus, target, vocab_size=10, min_count=1)
+    rows = {r["doc_id"]: r["importance"] for r in out.collect()}
+    assert rows[999] == 0.0                      # empty doc
+    assert rows[0] > 0 > rows[100]               # tgt-like up, bg down
+    assert all(abs(rows[i] - rows[0]) < 1e-12 for i in range(10))
+
+
+def test_vocab_known_value(spark):
+    # raw: 'a' x3 + 'b' x1;  target: 'a' x2. vocab={a,b}, cells=3.
+    raw = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a")], "doc_id int, text string")
+    target = spark.createDataFrame([(1, "a a")], "doc_id int, text string")
+    out = {r["doc_id"]: r["importance"]
+           for r in importance_scores(
+               raw, target, vocab_size=10, min_count=1).collect()}
+    tot_raw, tot_tgt, cells = 5, 2, 3
+    ra = math.log(((2 + .5) / (tot_tgt + .5 * cells))
+                  / ((4 + .5) / (tot_raw + .5 * cells)))
+    rb = math.log(((0 + .5) / (tot_tgt + .5 * cells))
+                  / ((1 + .5) / (tot_raw + .5 * cells)))
+    assert abs(out[0] - (3 * ra + rb)) < 1e-9
+    assert abs(out[1] - ra) < 1e-9
+
+
+def test_hashed_path_separates_domains(corpus):
+    target = corpus.where(F.col("source") == "tgt")
+    out = importance_scores(corpus, target, method="hashed", buckets=1024)
+    rows = {r["doc_id"]: r["importance"] for r in out.collect()}
+    assert rows[0] > rows[100]
+    assert rows[999] == 0.0
+
+
+def test_threshold_keeps_fraction(corpus):
+    target = corpus.where(F.col("source") == "tgt")
+    scored = importance_scores(corpus, target, vocab_size=10, min_count=1)
+    thr = importance_threshold(scored, keep_fraction=0.25)
+    kept = scored.where(F.col("importance") >= thr).count()
+    # 10 of 41 docs are target-like; the 0.75 percentile interpolates
+    # to exactly the empty doc's 0.0, so >= keeps it too (10 tgt + 1)
+    assert kept == 11
+    assert thr == 0.0
