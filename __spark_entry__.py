@@ -1113,6 +1113,40 @@ def q_importance_scores(spark, sf_dir):
                       F.round("importance", 6).alias("importance"))
 
 
+_BPE_DET_MERGES = [("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"),
+                   ("or", "d"), ("s", "c"), ("sc", "a"), ("a", "n")]
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE merge learning, trained end-to-end on the documents corpus
+    (operators/bpe.py::train_bpe): one distributed word-frequency
+    shuffle + driver merge loop. The DuckDB oracle re-derives the same
+    3 merges with an unrolled pair-count/argmax/replace round per
+    merge — a hard oracle for the trainer itself."""
+    from feathr_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=3, min_count=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")
+
+
+def q_bpe_encode_det(spark, sf_dir):
+    """BPE application with a FIXED merge list (deterministic twin of
+    the trained encoder — identical kernel, literal merges so DuckDB
+    can replay them as a replace() chain over '|'-fenced symbol
+    strings; includes the chained merge th+e that only fires after
+    t+h). Pieces compared element-for-element as JSON."""
+    from feathr_spark.operators.bpe import encode_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    out = encode_bpe(docs, _BPE_DET_MERGES, emit="pieces")
+    return out.select("doc_id",
+                      F.to_json("pieces").alias("pieces_json"),
+                      F.col("n_tok").cast("long").alias("n_tok"))
+
+
 def q_client_flow(spark, sf_dir):
     """Reference Python-client façade end-to-end
     (feathr_spark/client.py; reference feathr_project/feathr/client.py:
@@ -1702,6 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift": q_category_drift,
         "temperature_mixture": q_temperature_mixture,
         "importance_scores": q_importance_scores,
+        "bpe_train": q_bpe_train,
+        "bpe_encode_det": q_bpe_encode_det,
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
@@ -2954,6 +2990,103 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER () / share,
                          6) AS weight
             FROM s
+        """,
+        "bpe_train": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tokw AS (SELECT unnest(ws) AS word FROM w),
+            wc AS (SELECT word, count(*) AS cnt FROM tokw
+                   GROUP BY word HAVING count(*) >= 2),
+            s0 AS (SELECT word, cnt,
+                          '|' || array_to_string(
+                              regexp_split_to_array(word, ''), '||') || '|' AS s
+                   FROM wc),
+            p0 AS (SELECT word, cnt, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos
+                   FROM (SELECT word, cnt,
+                                string_split(trim(s, '|'), '||') AS toks
+                         FROM s0)),
+            pr0 AS (SELECT a.tok AS l, b.tok AS r, sum(a.cnt) AS c
+                    FROM p0 a JOIN p0 b
+                      ON a.word = b.word AND b.pos = a.pos + 1
+                    GROUP BY a.tok, b.tok),
+            m1 AS (SELECT l, r FROM pr0 ORDER BY c DESC, l, r LIMIT 1),
+            s1 AS (SELECT word, cnt,
+                          replace(s, (SELECT '|'||l||'||'||r||'|' FROM m1),
+                                     (SELECT '|'||l||r||'|' FROM m1)) AS s
+                   FROM s0),
+            p1 AS (SELECT word, cnt, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos
+                   FROM (SELECT word, cnt,
+                                string_split(trim(s, '|'), '||') AS toks
+                         FROM s1)),
+            pr1 AS (SELECT a.tok AS l, b.tok AS r, sum(a.cnt) AS c
+                    FROM p1 a JOIN p1 b
+                      ON a.word = b.word AND b.pos = a.pos + 1
+                    GROUP BY a.tok, b.tok),
+            m2 AS (SELECT l, r FROM pr1 ORDER BY c DESC, l, r LIMIT 1),
+            s2 AS (SELECT word, cnt,
+                          replace(s, (SELECT '|'||l||'||'||r||'|' FROM m2),
+                                     (SELECT '|'||l||r||'|' FROM m2)) AS s
+                   FROM s1),
+            p2 AS (SELECT word, cnt, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos
+                   FROM (SELECT word, cnt,
+                                string_split(trim(s, '|'), '||') AS toks
+                         FROM s2)),
+            pr2 AS (SELECT a.tok AS l, b.tok AS r, sum(a.cnt) AS c
+                    FROM p2 a JOIN p2 b
+                      ON a.word = b.word AND b.pos = a.pos + 1
+                    GROUP BY a.tok, b.tok),
+            m3 AS (SELECT l, r FROM pr2 ORDER BY c DESC, l, r LIMIT 1)
+            SELECT 1 AS rank, l AS "left", r AS "right" FROM m1
+            UNION ALL
+            SELECT 2 AS rank, l AS "left", r AS "right" FROM m2
+            UNION ALL
+            SELECT 3 AS rank, l AS "left", r AS "right" FROM m3
+        """,
+        "bpe_encode_det": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token,
+                           generate_subscripts(ws, 1) AS wpos FROM w),
+            enc AS (
+                SELECT doc_id, wpos,
+                       replace(replace(replace(replace(replace(replace(
+                       replace(replace(
+                           '|' || array_to_string(
+                               regexp_split_to_array(token, ''), '||') || '|',
+                           '|t||h|', '|th|'), '|th||e|', '|the|'),
+                           '|e||r|', '|er|'), '|o||r|', '|or|'),
+                           '|or||d|', '|ord|'), '|s||c|', '|sc|'),
+                           '|sc||a|', '|sca|'), '|a||n|', '|an|') AS s
+                FROM tok
+            ),
+            flat AS (
+                SELECT doc_id, wpos, unnest(ps) AS piece,
+                       generate_subscripts(ps, 1) AS ppos
+                FROM (SELECT doc_id, wpos,
+                             string_split(trim(s, '|'), '||') AS ps
+                      FROM enc)
+            ),
+            agg AS (SELECT doc_id, list(piece ORDER BY wpos, ppos) AS toks
+                    FROM flat GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(to_json(a.toks), '[]') AS pieces_json,
+                   coalesce(len(a.toks), 0) AS n_tok
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "importance_scores": r"""
             WITH w AS (
