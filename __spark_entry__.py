@@ -1147,6 +1147,32 @@ def q_bpe_encode_det(spark, sf_dir):
                       F.col("n_tok").cast("long").alias("n_tok"))
 
 
+def q_chunk_sequences(spark, sf_dir):
+    """LM-pretraining chunk windowing: tokenize the documents, then
+    split every sequence into size-16 chunks with stride 8 (overlap 8),
+    dropping tails shorter than 4 — row-local sequence+posexplode+slice,
+    zero shuffle (operators/tokens.py::chunk_sequences)."""
+    from feathr_spark.operators.tokens import chunk_sequences
+
+    enc, _ = _tokenized_docs(spark, sf_dir)
+    out = chunk_sequences(enc, chunk_size=16, stride=8, min_chunk=4)
+    return out.select("doc_id", "chunk_idx",
+                      F.to_json("tokens").alias("tokens_json"),
+                      F.col("n_tok").cast("long").alias("n_tok"))
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Duplicate-atomic train/val split: rows grouped by normalized
+    text, whole group assigned by the LCG of its min doc_id
+    (operators/corpus.py::leakage_safe_split). The oracle groups by
+    the normalized text itself — same groups, no hash needed."""
+    from feathr_spark.operators.corpus import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs, train_fraction=0.8)
+    return out.select("doc_id", "source", "split")
+
+
 def q_client_flow(spark, sf_dir):
     """Reference Python-client façade end-to-end
     (feathr_spark/client.py; reference feathr_project/feathr/client.py:
@@ -1738,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_scores": q_importance_scores,
         "bpe_train": q_bpe_train,
         "bpe_encode_det": q_bpe_encode_det,
+        "chunk_sequences": q_chunk_sequences,
+        "leakage_safe_split": q_leakage_safe_split,
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
@@ -3087,6 +3115,60 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(to_json(a.toks), '[]') AS pieces_json,
                    coalesce(len(a.toks), 0) AS n_tok
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "chunk_sequences": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token,
+                           generate_subscripts(ws, 1) AS pos FROM w),
+            cnt AS (SELECT token, count(*) AS n FROM tok
+                    GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+                FROM cnt ORDER BY n DESC, token LIMIT 20
+            ),
+            enc AS (
+                SELECT t.doc_id, list(coalesce(v.tid, 0) ORDER BY t.pos) AS toks
+                FROM tok t LEFT JOIN vocab v USING (token)
+                GROUP BY t.doc_id
+            ),
+            offs AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, len(toks), 8)) AS off
+                FROM enc WHERE len(toks) > 0
+            ),
+            chunks AS (
+                SELECT doc_id, off // 8 AS chunk_idx,
+                       toks[off + 1 : off + 16] AS c
+                FROM offs
+            )
+            SELECT doc_id, chunk_idx, to_json(c) AS tokens_json,
+                   len(c) AS n_tok
+            FROM chunks WHERE len(c) >= 4
+        """,
+        "leakage_safe_split": r"""
+            WITH norm AS (
+                SELECT doc_id, source,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            rep AS (
+                SELECT doc_id, source,
+                       min(doc_id) OVER (PARTITION BY nt) AS r
+                FROM norm
+            )
+            SELECT doc_id, source,
+                   CASE WHEN ((r * 1103515245 + 12345) % 2147483648) % 1000000
+                             < 800000
+                        THEN 'train' ELSE 'val' END AS split
+            FROM rep
         """,
         "importance_scores": r"""
             WITH w AS (

@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from feathr_spark.operators.text import shingles, token_count
+from feathr_spark.operators.text import normalize_text, shingles, token_count
 from feathr_spark.session import track_cache
 
 # ---------------------------------------------------------------------------
@@ -325,6 +325,40 @@ def mixture_weights(
         share.alias("share"),
         (tshare / share).alias("weight"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    train_fraction: float,
+    group: Column | str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val split that can NEVER leak duplicates
+    across sides: rows are grouped by ``group`` (default: normalized
+    text, so exact duplicates share a group; pass a dedup-cluster id
+    for near-dup safety), the group's representative is its minimum
+    ``id_col``, and the whole group lands on the side chosen by the
+    same integer LCG used by :func:`stratified_sample` — retry-safe,
+    seedable only by the data itself. Adds ``split`` ('train'/'val').
+
+    One content-keyed exchange (the window over ``group``) — the
+    unavoidable cost of group-atomic assignment; everything else is
+    row-local. The LCG needs ``rep * 1103515245`` to stay in int64, so
+    representative ids must be < ~8.4e9 — true for content-derived
+    32-bit ids; document ids wider than that should pass a group column
+    of bounded ids.
+    """
+    g = (F.col(group) if isinstance(group, str)
+         else group if group is not None
+         else F.xxhash64(normalize_text(F.col(text_col))))
+    w = Window.partitionBy(g)
+    rep = F.min(F.col(id_col)).over(w).cast("long")
+    cell = ((rep * F.lit(1103515245) + F.lit(12345))
+            % F.lit(2147483648)) % F.lit(1000000)
+    side = F.when(cell < F.lit(int(train_fraction * 1000000)),
+                  F.lit("train")).otherwise(F.lit("val"))
+    return df.withColumn("split", side)
 
 
 def temperature_mixture(

@@ -82,6 +82,45 @@ def corpus_token_stats(
         "mean_len", "p50_len", "p90_len", "max_len"))
 
 
+def chunk_sequences(
+    df: DataFrame,
+    chunk_size: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    min_chunk: int = 1,
+) -> DataFrame:
+    """Split token sequences into fixed-size training chunks
+    ``(id, chunk_idx, tokens, n_tok)`` starting at offsets
+    ``0, stride, 2*stride, ...`` (``stride < chunk_size`` overlaps
+    chunks, the usual LM-pretraining windowing; default stride =
+    chunk_size = disjoint). Tail chunks shorter than ``min_chunk`` are
+    dropped.
+
+    Row-local JVM expressions only (``sequence`` + ``posexplode`` +
+    ``slice``): the explode multiplies rows in place — zero shuffle, no
+    Python. Compare :func:`feathr_spark.operators.corpus.pack_sequences`
+    for the inverse (many short docs -> fixed-size rows).
+    """
+    stride = chunk_size if stride is None else stride
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.col(n_tok_col).cast("int") - 1, F.lit(0)),
+        F.lit(stride))
+    keep = [c for c in df.columns if c not in (tokens_col, n_tok_col)]
+    out = (df.where(F.col(n_tok_col) > 0)
+             .select(*keep, F.col(tokens_col).alias("__t"),
+                     F.posexplode(offs).alias("chunk_idx", "__off"))
+             .select(*keep, "chunk_idx",
+                     F.slice(F.col("__t"), F.col("__off") + 1,
+                             chunk_size).alias(tokens_col)))
+    return (out.withColumn(n_tok_col, F.size(F.col(tokens_col)))
+               .where(F.col(n_tok_col) >= min_chunk))
+
+
 def decode_tokens(
     df: DataFrame,
     vocab: DataFrame,

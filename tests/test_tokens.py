@@ -78,3 +78,46 @@ def test_decode_preserves_keep_cols(enc_vocab):
     enc, vocab = enc_vocab
     dec = decode_tokens(enc, vocab, keep_cols=("source",))
     assert set(dec.columns) == {"doc_id", "source", "text"}
+
+
+def test_chunk_sequences_stride_and_tails(spark):
+    from feathr_spark.operators.tokens import chunk_sequences
+    df = spark.createDataFrame(
+        [(1, list(range(10)), 10), (2, [], 0), (3, [1, 2], 2)],
+        "doc_id int, tokens array<int>, n_tok int")
+    out = {(r["doc_id"], r["chunk_idx"]): r["tokens"]
+           for r in chunk_sequences(df, chunk_size=4, stride=2,
+                                    min_chunk=3).collect()}
+    # doc 1: offsets 0,2,4,6,8 -> sizes 4,4,4,4,2; min_chunk=3 drops the tail
+    assert out[(1, 0)] == [0, 1, 2, 3]
+    assert out[(1, 1)] == [2, 3, 4, 5]
+    assert out[(1, 3)] == [6, 7, 8, 9]
+    assert (1, 4) not in out
+    # doc 2 empty -> nothing; doc 3 len 2 < min_chunk -> nothing
+    assert not any(k[0] in (2, 3) for k in out)
+
+
+def test_chunk_sequences_disjoint_default(spark):
+    from feathr_spark.operators.tokens import chunk_sequences
+    df = spark.createDataFrame([(1, list(range(9)), 9)],
+                               "doc_id int, tokens array<int>, n_tok int")
+    rows = chunk_sequences(df, chunk_size=4).orderBy("chunk_idx").collect()
+    assert [r["tokens"] for r in rows] == [[0, 1, 2, 3], [4, 5, 6, 7], [8]]
+    assert [r["n_tok"] for r in rows] == [4, 4, 1]
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from feathr_spark.operators.corpus import leakage_safe_split
+    rows = [(i, f"unique text {i}", "a") for i in range(50)]
+    rows += [(100 + i, "Exact DUP text!", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = leakage_safe_split(df, 0.8)
+    dup_sides = {r["split"] for r in
+                 out.where(F.col("doc_id") >= 100).collect()}
+    assert len(dup_sides) == 1          # all duplicates on one side
+    sides = {r["split"] for r in out.collect()}
+    assert sides == {"train", "val"}    # both sides populated
+    # deterministic: re-running yields identical assignment
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(df, 0.8).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out.collect())
