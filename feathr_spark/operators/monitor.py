@@ -23,10 +23,15 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feathr_spark.session import track_cache
+
 
 def _psi_kl(binned: DataFrame, smooth: float, n_cells_expr) -> DataFrame:
     """(feature, bin, n_ref, n_cur) -> one row per feature with
-    Laplace-smoothed PSI and KL(cur || ref)."""
+    Laplace-smoothed PSI and KL(cur || ref). The bin table is persisted
+    (bounded: features x cells rows) so the totals pass and the join do
+    NOT re-scan the input twice — one corpus scan total."""
+    binned = track_cache(binned.persist())
     tot = binned.groupBy("feature").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"),
         n_cells_expr.alias("cells"))
