@@ -55,6 +55,9 @@ HEADLINE = [
     "dup_spans",              # fixed-window exact-substring dedup audit
     "url_features",
     "full_plan",              # multi-stage planner end-to-end
+    "importance_scores",      # DSIR selection (zero-shuffle Arrow scoring)
+    "chunk_sequences",        # LM chunk windowing (pure codegen explode)
+    "bpe_encode_det",         # BPE segmentation kernel (unique-word cache)
 ]
 
 
