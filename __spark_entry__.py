@@ -1743,6 +1743,52 @@ def q_mixture_weights(spark, sf_dir):
                       F.round("weight", 6).alias("weight"))
 
 
+def _lm_for(spark, sf_dir):
+    """Shared trainer for the two LM contract queries: bigram
+    stupid-backoff LM over the src0 'trusted target' slice (the CCNet
+    recipe — train on target-like text, score the whole corpus).
+    Small vocab + tight bigram cap so pruning and backoff are both
+    exercised against the oracle."""
+    from feathr_spark.operators.lm import train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    lm = train_ngram_lm(target, vocab_size=30, min_count=2,
+                        smooth=0.5, alpha=0.4, max_bigrams=50)
+    return docs, lm
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity scoring (Wenzek et al. 2020): bigram
+    stupid-backoff LM trained on the src0 target slice, every document
+    scored in ONE zero-shuffle broadcast Arrow pass
+    (operators/lm.py::perplexity_scores, strategy='broadcast')."""
+    from feathr_spark.operators.lm import perplexity_scores
+
+    docs, lm = _lm_for(spark, sf_dir)
+    out = perplexity_scores(docs, lm)
+    # ppl = exp(-lp/n) amplifies summation-order noise ~exp-fold; 4 dp
+    # keeps the hash stable while lp itself is safe at 6 dp
+    return out.select("doc_id", "source", "lm_n",
+                      F.round("lm_logprob", 6).alias("lm_logprob"),
+                      F.round("perplexity", 4).alias("perplexity"))
+
+
+def q_lm_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: per-source ntile(3) over LM
+    perplexity (bucket 1 = most target-like). Bucketing runs over the
+    6-dp-rounded perplexity with doc_id tie-break so the cut is
+    bit-reproducible against the oracle."""
+    from feathr_spark.operators.lm import (perplexity_buckets,
+                                           perplexity_scores)
+
+    docs, lm = _lm_for(spark, sf_dir)
+    scored = perplexity_scores(docs, lm).withColumn(
+        "perplexity", F.round("perplexity", 4))
+    out = perplexity_buckets(scored, by="source", n_buckets=3)
+    return out.select("doc_id", "source", "perplexity", "ppl_bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -1754,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "lm_perplexity": q_lm_perplexity,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
         "tokenize_docs": q_tokenize_docs,
         "token_stats": q_token_stats,
         "token_histogram": q_token_histogram,
@@ -1880,6 +1928,79 @@ _SHINGLE_JACCARD_CTE = r"""
 _JACCARD_PAIRS_ORACLE = f"""
     WITH {_SHINGLE_JACCARD_CTE}
     SELECT id_a, id_b, round(j, 5) AS jaccard FROM jp WHERE j >= 0.7
+"""
+
+
+# Bigram stupid-backoff LM replay (operators/lm.py): train on the src0
+# slice (vocab 30 / min_count 2 / smooth 0.5 / alpha 0.4 / max_bigrams
+# 50 — mirrors _lm_for), score every document. Shared by both LM
+# contract queries.
+_LM_MODEL_CTES = r"""
+    w AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    ttok AS (SELECT doc_id, unnest(ws) AS w,
+                    generate_subscripts(ws, 1) AS pos
+             FROM w WHERE source = 'src0'),
+    uni AS (SELECT w, count(*) AS n FROM ttok GROUP BY w),
+    vocab AS (SELECT w, n FROM uni WHERE n >= 2
+              ORDER BY n DESC, w ASC LIMIT 30),
+    tot AS (SELECT coalesce(sum(n), 0) AS n_total FROM uni),
+    vin AS (SELECT coalesce(sum(n), 0) AS n_in, count(*) AS v FROM vocab),
+    unigrams AS (
+        SELECT v.w AS w,
+               ln((v.n + 0.5) / (tot.n_total + 0.5 * (vin.v + 1))) AS logp1
+        FROM vocab v, tot, vin
+        UNION ALL
+        SELECT '<unk>',
+               ln((tot.n_total - vin.n_in + 0.5)
+                  / (tot.n_total + 0.5 * (vin.v + 1)))
+        FROM tot, vin
+    ),
+    tpair AS (
+        SELECT coalesce(v1.w, '<unk>') AS prev,
+               coalesce(v2.w, '<unk>') AS w
+        FROM ttok a JOIN ttok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        LEFT JOIN vocab v1 ON v1.w = a.w
+        LEFT JOIN vocab v2 ON v2.w = b.w
+    ),
+    big AS (SELECT prev, w, count(*) AS n FROM tpair GROUP BY prev, w),
+    ctx AS (SELECT prev, sum(n) AS ctx FROM big GROUP BY prev),
+    -- prune AFTER ctx so kept-pair probabilities keep their true
+    -- context mass (matches train_ngram_lm's pre-prune ctx totals)
+    kept AS (SELECT prev, w, n FROM big
+             ORDER BY n DESC, prev ASC, w ASC LIMIT 50),
+    bigrams AS (SELECT k.prev, k.w, ln(k.n * 1.0 / c.ctx) AS logp2
+                FROM kept k JOIN ctx c USING (prev)),
+    stok AS (SELECT doc_id, unnest(ws) AS tok,
+                    generate_subscripts(ws, 1) AS pos FROM w),
+    mapped AS (
+        SELECT s.doc_id, s.pos, coalesce(v.w, '<unk>') AS w
+        FROM stok s LEFT JOIN vocab v ON v.w = s.tok
+    ),
+    seq AS (
+        SELECT doc_id, pos, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM mapped
+    ),
+    toklp AS (
+        SELECT s.doc_id,
+               CASE WHEN s.prev IS NULL THEN u.logp1
+                    ELSE coalesce(b.logp2, ln(0.4) + u.logp1) END AS lp
+        FROM seq s
+        JOIN unigrams u ON u.w = s.w
+        LEFT JOIN bigrams b ON b.prev = s.prev AND b.w = s.w
+    ),
+    lm_scored AS (
+        SELECT doc_id, sum(lp) AS lm_logprob, count(*) AS lm_n
+        FROM toklp GROUP BY doc_id
+    )
 """
 
 
@@ -2487,6 +2608,28 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n, round(sum(value), 4) AS v_sum
             FROM w WHERE t >= ws AND t < ws + 3600
             GROUP BY 1, 2
+        """,
+        "lm_perplexity": f"""
+            WITH {_LM_MODEL_CTES}
+            SELECT d.doc_id, d.source,
+                   coalesce(s.lm_n, 0) AS lm_n,
+                   round(s.lm_logprob, 6) AS lm_logprob,
+                   round(exp(-s.lm_logprob / s.lm_n), 4) AS perplexity
+            FROM documents d LEFT JOIN lm_scored s USING (doc_id)
+        """,
+        "lm_ppl_buckets": f"""
+            WITH {_LM_MODEL_CTES},
+            ppl AS (
+                SELECT d.doc_id, d.source,
+                       round(exp(-s.lm_logprob / s.lm_n), 4) AS perplexity
+                FROM documents d JOIN lm_scored s USING (doc_id)
+                WHERE s.lm_n > 0
+            )
+            SELECT doc_id, source, perplexity,
+                   CAST(ntile(3) OVER (PARTITION BY source
+                        ORDER BY perplexity ASC, doc_id ASC) AS INTEGER)
+                       AS ppl_bucket
+            FROM ppl
         """,
         "tokenize_docs": r"""
             WITH w AS (

@@ -58,6 +58,7 @@ HEADLINE = [
     "importance_scores",      # DSIR selection (zero-shuffle Arrow scoring)
     "chunk_sequences",        # LM chunk windowing (pure codegen explode)
     "bpe_encode_det",         # BPE segmentation kernel (unique-word cache)
+    "lm_perplexity",          # CCNet LM scoring (train + broadcast score)
 ]
 
 
