@@ -247,14 +247,17 @@ def _asof_prune(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
                        emit_match_ts=True).drop("__row")
     # the returned frame is lazy over this cache; registered so
     # feathr_spark.release_caches() frees it after the caller materializes.
-    # count() builds the cache BEFORE the consuming query runs: slim is
-    # scanned by two subtrees (the pairs semi-join side and the final
-    # join-back), and AQE launches both map stages concurrently — against
-    # a lazy persist each would recompute the full as-of sort instead of
-    # reading InMemoryTableScan (the same race measured at 2-4x redundant
-    # kernel work in minhash_lsh_dedup).
+    # Deliberately NOT built eagerly: slim is scanned by two leaf stages
+    # (pairs semi-join side, final join-back) that AQE submits
+    # concurrently, so racing tasks can compute a partition twice before
+    # the cache fills — but slim is the NARROW (keys, ts) table, the
+    # redundant work is bounded at 2x a cheap kernel and overlaps idle
+    # cores, and slim's value is deterministic so both computations
+    # agree. An eager count() here instead serializes a full extra job
+    # per call: measured +0.8s (23%) on the sf0.1 flagship. (Contrast
+    # minhash_lsh_dedup, where the raced table carries wide signatures
+    # and IS built eagerly.)
     slim = track_cache(slim.persist(StorageLevel.MEMORY_AND_DISK))
-    slim.count()
     pairs = (slim.where(F.col("__match_ts").isNotNull())
              .select(*kcols, F.col("__match_ts").alias("__ts"))
              .dropDuplicates())
