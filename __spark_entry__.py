@@ -503,6 +503,48 @@ def q_minhash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
+def q_token_dedup_pairs(spark, sf_dir):
+    """Near-dup pairs computed ENTIRELY in token space: documents are
+    encoded with an injective full vocabulary (the north-star
+    pre-tokenized shape), then LSH banding + exact Jaccard run over
+    rotate-XOR token-trigram fingerprints — no text round-trip
+    (operators/dedup.py::token_jaccard_pairs). With an injective vocab
+    the token-trigram set corresponds 1:1 to the word-trigram set, so
+    the DuckDB word-space Jaccard oracle must reproduce every pair AND
+    every jaccard value exactly."""
+    from feathr_spark.operators.dedup import token_jaccard_pairs
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocabulary(docs, max_size=100_000, min_count=1)
+    toks = encode_tokens(docs, vocab, keep_cols=())
+    out = token_jaccard_pairs(toks, threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+def q_token_dup_groups(spark, sf_dir):
+    """Exact duplicate token SEQUENCES (token-array equality — the
+    north rule's per-row invariant) over the encoded corpus: xxhash64
+    of the array<int> itself, one hash-partition shuffle
+    (operators/dedup.py::token_dup_groups). Injective vocab makes
+    token-sequence equality ⟺ normalized-word-sequence equality, which
+    the oracle replays in word space."""
+    from feathr_spark.operators.dedup import token_dup_groups
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus has no exact dups — inject a deterministic
+    # copy of every 10th doc (id + 10^6) so the result is non-trivial;
+    # the oracle replays the same injection
+    dup = (docs.where(F.col("doc_id") % 10 == 0)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    both = docs.unionByName(dup)
+    vocab = build_vocabulary(both, max_size=100_000, min_count=1)
+    toks = encode_tokens(both, vocab, keep_cols=())
+    return (token_dup_groups(toks)
+            .select("keep_id", F.col("n_dups").cast("long").alias("n_dups")))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-band candidates verified by exact Jaccard
     (candidate generation is hash-internal; the verified output is
@@ -1800,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_driver_contract.py every round.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
+        "token_dedup_pairs": q_token_dedup_pairs,
+        "token_dup_groups": q_token_dup_groups,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "tokenize_docs": q_tokenize_docs,
@@ -3003,6 +3047,26 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c LEFT JOIN anch a ON a.cluster_rep = c.cluster_rep
         """,
         "minhash_pairs": _JACCARD_PAIRS_ORACLE,
+        # token-space twin: with an injective vocab, token-trigram
+        # Jaccard == word-trigram Jaccard — same oracle, every pair and
+        # value must match exactly
+        "token_dedup_pairs": _JACCARD_PAIRS_ORACLE,
+        "token_dup_groups": r"""
+            WITH with_dups AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+                FROM with_dups
+            )
+            SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+            FROM n GROUP BY norm HAVING count(*) > 1
+        """,
         "simhash_pairs": _JACCARD_PAIRS_ORACLE,
         "minhash_clusters": f"""
             WITH RECURSIVE {_SHINGLE_JACCARD_CTE},

@@ -188,6 +188,77 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "minhash", minhash_col(F.col("shingle_set"), num_hashes))
 
 
+def token_fingerprints(df: DataFrame, tokens_col: str = "tokens",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """ONE-scan fingerprint table ``(id, shingle_set, minhash)`` over
+    PRE-TOKENIZED sequences — the token-space twin of
+    :func:`fingerprints` for the north-star corpus shape
+    ``(doc_id, tokens array<int>, ...)``: near-dup detection runs
+    directly on token ids, no text round-trip (decode + re-shingle
+    would re-materialize every token as a string).
+
+    Per-token ``xxhash64`` is projected ONCE as a real column; each
+    n-token window then combines by rotate-XOR
+    (:func:`feathr_spark.operators.corpus._rolling_window_hashes` —
+    flat long algebra inside whole-stage codegen). An indexed
+    slice-per-window form would copy ``shingle_n`` tokens per window,
+    and hashing inside the window lambda would re-run the per-token
+    transform per element (the O(len^2) trap
+    ``text.shingles`` documents). With an injective vocabulary this
+    shingle set corresponds 1:1 to the text path's word-n-gram set, so
+    downstream Jaccard/LSH semantics are identical — that equivalence
+    is the driver oracle for ``token_dedup_pairs``.
+    """
+    from feathr_spark.operators.corpus import _rolling_window_hashes
+
+    df = _widen_for_kernels(df)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("__th"))
+    sset = F.array_distinct(_rolling_window_hashes(F.col("__th"), shingle_n))
+    return (hashed.select(F.col(id_col), sset.alias("shingle_set"))
+            .withColumn("minhash", minhash_col(F.col("shingle_set"), num_hashes)))
+
+
+def token_jaccard_pairs(df: DataFrame, tokens_col: str = "tokens",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5, bands: int = 16,
+                        num_hashes: int = 64,
+                        fp: DataFrame | None = None) -> DataFrame:
+    """Exact token-n-gram Jaccard for LSH candidate pairs over
+    pre-tokenized sequences — the token-space
+    :func:`ngram_jaccard_pairs` (same banding, screen and verify
+    kernels; only the fingerprint source differs). Persist/caching
+    contract matches ngram_jaccard_pairs: the fingerprint table feeds
+    three subtrees, so it is built eagerly (wide signatures — the raced
+    lazy cache measured 2-4x redundant kernel work)."""
+    own_fp = fp is None
+    if own_fp:
+        fp = track_cache(
+            token_fingerprints(df, tokens_col, id_col, num_hashes,
+                               shingle_n).persist())
+        fp.count()
+    pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, num_hashes // bands)
+    return _exact_jaccard_over(pairs, fp, id_col, threshold)
+
+
+def token_dup_groups(df: DataFrame, tokens_col: str = "tokens",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, keep_id) per duplicated token SEQUENCE —
+    exact sequence-level dedup over the pre-tokenized corpus (token-
+    array equality is the north rule's per-row invariant, so the hash
+    key is the raw ``array<int>`` itself, no normalization).
+    ``xxhash64`` hashes the array JVM-side; one hash-partition shuffle
+    with map-side combine, same shape as :func:`exact_dup_groups`."""
+    return (
+        df.select(F.col(id_col), F.xxhash64(F.col(tokens_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
 def _band_buckets(df: DataFrame, sig_col: str, bands: int, rows: int,
                   id_col: str) -> DataFrame:
     """Explode the signature into (band_id, band_hash) bucket keys.

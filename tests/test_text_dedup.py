@@ -377,3 +377,37 @@ def test_build_vocabulary_tie_break_lexicographic(spark):
     v = {r["token"]: r["token_id"] for r in
          build_vocabulary(docs, max_size=10).collect()}
     assert v == {"apple": 1, "pear": 2}
+
+
+def test_token_jaccard_matches_text_jaccard(spark, near_dup_corpus):
+    """Token-space Jaccard == text-space Jaccard under an injective
+    vocab (the equivalence the token_dedup_pairs oracle relies on),
+    including docs with repeated words and docs shorter than the
+    shingle width."""
+    from feathr_spark.operators.dedup import (ngram_jaccard_pairs,
+                                              token_jaccard_pairs)
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    rows, _ = near_dup_corpus
+    rows = rows + [(6, "tiny doc"),                       # < shingle_n words
+                   (7, "loop loop loop loop loop loop")]  # repeated token
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocabulary(df, max_size=10_000, min_count=1)
+    toks = encode_tokens(df, vocab, keep_cols=())
+
+    txt = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    tok = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in token_jaccard_pairs(toks, threshold=0.3).collect()}
+    assert txt == tok and len(txt) >= 2
+
+
+def test_token_dup_groups_exact_sequences(spark):
+    from feathr_spark.operators.dedup import token_dup_groups
+
+    toks = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 2]), (4, [3, 2, 1]),
+         (5, [1, 2])],
+        "doc_id long, tokens array<int>")
+    got = {r["keep_id"]: r["n_dups"] for r in token_dup_groups(toks).collect()}
+    assert got == {1: 2, 3: 2}  # order-sensitive: [3,2,1] is NOT a dup
