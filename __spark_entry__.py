@@ -1738,6 +1738,38 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=128, partition_by=["source"])
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher pretraining quality rules (Rae et al. 2021 table A1) as
+    boolean PASS/FAIL columns — pure JVM split/filter/regexp
+    expressions, zero shuffle (operators/text.py::gopher_rules).
+    min_words lowered to 25 so the synthetic corpus (10-60-word docs)
+    splits on the rule."""
+    from feathr_spark.operators.text import with_gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_gopher_rules(docs, min_words=25, min_stopword_hits=1)
+    flags = ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+             "r_stopwords", "gopher_pass"]
+    return out.select("doc_id",
+                      *[F.col(f).cast("int").alias(f) for f in flags])
+
+
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: shard + dense
+    within-shard position as pure functions of (key, seed) — one
+    exchange, per-shard parallel sort
+    (operators/corpus.py::shard_shuffle). Engine-portable LCG hash so
+    the oracle reproduces the exact permutation."""
+    from feathr_spark.operators.corpus import shard_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345),
+               F.lit(2147483648))
+    out = shard_shuffle(docs, n_shards=8, hash_col=h)
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-domain downsampling. Uses an engine-portable
     LCG hash so the DuckDB oracle reproduces the exact keep set
@@ -1844,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) never driver-checked before round 3 ----------------------
         "token_dedup_pairs": q_token_dedup_pairs,
         "token_dup_groups": q_token_dup_groups,
+        "gopher_rules": q_gopher_rules,
+        "shard_shuffle": q_shard_shuffle,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "tokenize_docs": q_tokenize_docs,
@@ -3051,6 +3085,66 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard == word-trigram Jaccard — same oracle, every pair and
         # value must match exactly
         "token_dedup_pairs": _JACCARD_PAIRS_ORACLE,
+        "gopher_rules": r"""
+            WITH b AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS ws,
+                       regexp_split_to_array(text, '\n') AS ls
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(ws) AS nw,
+                       greatest(len(ws), 1)::DOUBLE AS nw1,
+                       coalesce(list_aggregate(
+                           list_transform(ws, w -> length(w)), 'sum'), 0)
+                           / greatest(len(ws), 1)::DOUBLE AS mwl,
+                       (length(text) - length(replace(text, '#', '')))
+                       + (length(text)
+                          - length(regexp_replace(text, '\.\.\.', 'xx', 'g')))
+                       + (length(text) - length(replace(text, '…', '')))
+                           AS n_sym,
+                       len(list_filter(ls,
+                           l -> regexp_matches(l, '^\s*[-*•]')))
+                           / greatest(len(ls), 1)::DOUBLE AS bullet_frac,
+                       len(list_filter(ls,
+                           l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                           / greatest(len(ls), 1)::DOUBLE AS ell_frac,
+                       len(list_filter(ws,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           / greatest(len(ws), 1)::DOUBLE AS alpha_frac,
+                       len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(
+                               list_transform(ws, w -> lower(w)), s)))
+                           AS stop_hits
+                FROM b
+            )
+            SELECT doc_id,
+                   (nw >= 25 AND nw <= 100000)::INT AS r_word_count,
+                   (mwl >= 3.0 AND mwl <= 10.0)::INT AS r_mean_word_len,
+                   (n_sym / nw1 <= 0.1)::INT AS r_symbol_ratio,
+                   (bullet_frac <= 0.9)::INT AS r_bullet_lines,
+                   (ell_frac <= 0.3)::INT AS r_ellipsis_lines,
+                   (alpha_frac >= 0.8)::INT AS r_alpha_words,
+                   (stop_hits >= 1)::INT AS r_stopwords,
+                   ((nw >= 25 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                    AND (n_sym / nw1 <= 0.1) AND (bullet_frac <= 0.9)
+                    AND (ell_frac <= 0.3) AND (alpha_frac >= 0.8)
+                    AND (stop_hits >= 1))::INT AS gopher_pass
+            FROM m
+        """,
+        "shard_shuffle": r"""
+            WITH h AS (
+                SELECT doc_id, ((doc_id * 1103515245 + 12345) % 2147483648)
+                               AS hv
+                FROM documents
+            )
+            SELECT doc_id, (hv % 8)::INT AS shard,
+                   (row_number() OVER (PARTITION BY hv % 8
+                                       ORDER BY hv, doc_id) - 1)::BIGINT AS pos
+            FROM h
+        """,
         "token_dup_groups": r"""
             WITH with_dups AS (
                 SELECT doc_id, text FROM documents

@@ -251,6 +251,41 @@ def stratified_sample(
     return df.where(F.pmod(h, F.lit(_SAMPLE_M)) < thresh)
 
 
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` in [0, n_shards) and a dense ``pos`` within its shard,
+    both pure functions of (key, seed) — the reproducible "shuffle the
+    corpus, write N shards" step ahead of training. Rerunning after a
+    retry or an upstream change reproduces the identical order
+    (``df.orderBy(rand())`` depends on partitioning and is not
+    retry-stable).
+
+    Plan: ONE hash-partition exchange on ``shard`` + a per-shard sort
+    (Window row_number). Each shard sorts independently in parallel —
+    the global permutation never funnels through a single task, and at
+    10^12 rows shard count is chosen so a shard's (hash, key) pairs fit
+    a task's sort spill budget. Default hash ``xxhash64(key, seed)``;
+    pass ``hash_col`` to substitute an engine-portable hash (the
+    contract oracle uses the LCG from :func:`hash_sample`'s family).
+    """
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(key_col), F.lit(seed))
+    out = df.withColumn("__sh_h", h) \
+            .withColumn("shard", F.pmod(F.col("__sh_h"), F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("__sh_h"), F.col(key_col))
+    return (out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("__sh_h"))
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

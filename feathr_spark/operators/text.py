@@ -345,3 +345,81 @@ def encode_tokens(
             yield res
 
     return base.mapInPandas(_encode, schema=out_schema)
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 filter
+# thresholds). The canonical pretraining document filter bundle —
+# complements quality_features (ratios) with the published PASS/FAIL
+# rules. Reference analogue: row-level filter transforms ahead of
+# anchors (feathr-impl offline/anchored/anchorExtractor/*.scala).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Boolean Gopher-rule columns plus the conjunction ``gopher_pass``.
+
+    Every rule is a pure JVM expression (split / filter / size /
+    regexp counts — whole-stage codegen, zero shuffle, zero Python):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ellipsis), bullet-start / ellipsis-end line fractions,
+    alphabetic-word fraction, and distinct-stopword hits. Raw-case
+    whitespace words (the paper filters raw documents; only the
+    stopword probe lowercases).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_words1 = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+               / n_words1)
+    # occurrences of '#' plus ellipsis ('...' or '…'); count by length
+    # delta so overlapping regex semantics can't diverge across engines
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ell = ((F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", "xx")))
+             + (F.length(c) - F.length(F.regexp_replace(c, "…", ""))))
+    lines = F.split(c, r"\n")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines1)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines1)
+    alpha_frac = (F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+                  / n_words1)
+    lwords = F.transform(words, F.lower)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(lwords, s)))
+    flags = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+                           & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": ((n_hash + n_ell) / n_words1) <= max_symbol_word_ratio,
+        "r_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "r_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "r_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "r_stopwords": stop_hits >= min_stopword_hits,
+    }
+    gate = F.lit(True)
+    for col in flags.values():
+        gate = gate & col
+    flags["gopher_pass"] = gate
+    return flags
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    out = df
+    for name, col in gopher_rules(text_col, **thresholds).items():
+        out = out.withColumn(name, col)
+    return out

@@ -300,3 +300,54 @@ def test_duplicate_windows_short_and_empty_docs(spark):
     assert stats[2].n_words == 0 and stats[2].clean_n_words == 0
     clean = {r.doc_id: r.clean_text for r in remove_duplicate_spans(df, window=10).collect()}
     assert clean[1] == "short doc" and clean[2] == ""
+
+
+def test_gopher_rules_branches(spark):
+    from feathr_spark.operators.text import with_gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs with " \
+           "great speed across wide open fields that stretch toward far " \
+           "away hills under bright blue skies full of drifting clouds"
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "too short to pass"),                      # word count
+        (3, "- a\n- b\n- c\n- d"),                     # bullet lines
+        (4, "first line...\nsecond line…\nthird"),     # ellipsis lines
+        (5, "## ## ## " + good),                       # symbol ratio
+        (6, " ".join(["12345"] * 40)),                 # alpha + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           with_gopher_rules(df, min_words=20, min_stopword_hits=2).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["r_word_count"] is False
+    assert out[3]["r_bullet_lines"] is False
+    assert out[4]["r_ellipsis_lines"] is False          # 2/3 lines > 0.3
+    assert out[5]["r_symbol_ratio"] is False
+    assert out[6]["r_alpha_words"] is False
+    assert out[6]["r_stopwords"] is False
+    assert all(not out[i]["gopher_pass"] for i in (2, 3, 4, 5, 6))
+
+
+def test_shard_shuffle_deterministic_dense(spark):
+    from feathr_spark.operators.corpus import shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = shard_shuffle(df, n_shards=4, seed=7)
+    got = [(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()]
+    # deterministic across a fresh plan and a different partitioning
+    b = shard_shuffle(df.repartition(13), n_shards=4, seed=7)
+    assert sorted(got) == sorted((r["doc_id"], r["shard"], r["pos"])
+                                 for r in b.collect())
+    # dense positions per shard, all rows kept exactly once
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for _, sh, pos in got:
+        by_shard[sh].append(pos)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for v in by_shard.values():
+        assert sorted(v) == list(range(len(v)))
+    # a different seed really permutes
+    c = shard_shuffle(df, n_shards=4, seed=8)
+    assert sorted(got) != sorted((r["doc_id"], r["shard"], r["pos"])
+                                 for r in c.collect())
