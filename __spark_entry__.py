@@ -1770,6 +1770,56 @@ def q_shard_shuffle(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning bundle (Raffel et al. 2020 sec 2.2) — line-level
+    terminal-punct / min-words / javascript filters + document flags,
+    pure codegen, zero shuffle (operators/text.py::c4_rules). The
+    synthetic corpus has no newlines or punctuation, so structure is
+    synthesized deterministically first: ' data ' becomes a
+    sentence+line break and every doc gains a terminal period; docs
+    with doc_id%5==0 / %7==0 gain lorem-ipsum / brace markers to
+    exercise those branches. Literal replace() has identical
+    non-overlapping left-to-right semantics in Spark and DuckDB."""
+    from feathr_spark.operators.text import with_c4_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(F.replace(F.col("text"), F.lit(" data "),
+                           F.lit(".\ndata ")), F.lit("."))
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit(" lorem ipsum sits right here today."))
+               ).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit(" and value { appears here with words."))
+               ).otherwise(t)
+    staged = docs.select("doc_id", t.alias("text"))
+    out = with_c4_rules(staged, min_line_words=5, min_sentences=2)
+    return out.select(
+        "doc_id",
+        F.length("c4_clean_text").cast("long").alias("n_clean_chars"),
+        *[F.col(f).cast("int").alias(f)
+          for f in ("r_min_sentences", "r_no_lorem", "r_no_brace",
+                    "r_blocklist", "c4_pass")])
+
+
+def q_select_by_budget(spark, sf_dir):
+    """Token-budget corpus selection: per-source greedy fill in quality
+    order, 800 tokens per source
+    (operators/selection.py::select_by_budget). Runs the BUCKET scale
+    path (histogram cut + boundary-cell refinement) against the oracle's
+    exact running-sum window — the two must agree row-for-row."""
+    from feathr_spark.operators.selection import select_by_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda w: w != "")).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("double").alias("score"))
+    out = select_by_budget(scored, 800.0, "n_tokens", "score",
+                           ["source"], method="bucket", score_buckets=64)
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-domain downsampling. Uses an engine-portable
     LCG hash so the DuckDB oracle reproduces the exact keep set
@@ -1878,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dup_groups": q_token_dup_groups,
         "gopher_rules": q_gopher_rules,
         "shard_shuffle": q_shard_shuffle,
+        "c4_rules": q_c4_rules,
+        "select_by_budget": q_select_by_budget,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "tokenize_docs": q_tokenize_docs,
@@ -3133,6 +3185,70 @@ def oracle_sql() -> dict[str, str]:
                     AND (ell_frac <= 0.3) AND (alpha_frac >= 0.8)
                     AND (stop_hits >= 1))::INT AS gopher_pass
             FROM m
+        """,
+        "c4_rules": r"""
+            WITH staged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN base ||
+                                ' and value { appears here with words.'
+                            ELSE base END AS text
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 5 = 0 THEN t ||
+                                    ' lorem ipsum sits right here today.'
+                                ELSE t END AS base
+                    FROM (
+                        SELECT doc_id,
+                               replace(text, ' data ',
+                                       '.' || chr(10) || 'data ') || '.'
+                                   AS t
+                        FROM documents))
+            ), cleaned AS (
+                SELECT doc_id,
+                       array_to_string(list_filter(
+                           regexp_split_to_array(text, '\n'),
+                           l -> regexp_matches(l, '[.!?"]\s*$')
+                                AND len(list_filter(
+                                    regexp_split_to_array(l, '\s+'),
+                                    w -> w <> '')) >= 5
+                                AND NOT contains(lower(l), 'javascript')
+                       ), chr(10)) AS clean
+                FROM staged
+            ), m AS (
+                SELECT doc_id, clean,
+                       length(clean)
+                       - length(regexp_replace(clean, '[.!?]', '', 'g'))
+                           AS n_sent,
+                       contains(lower(clean), 'lorem ipsum') AS has_lorem,
+                       contains(clean, '{') AS has_brace
+                FROM cleaned
+            )
+            SELECT doc_id,
+                   length(clean)::BIGINT AS n_clean_chars,
+                   (n_sent >= 2)::INT AS r_min_sentences,
+                   (NOT has_lorem)::INT AS r_no_lorem,
+                   (NOT has_brace)::INT AS r_no_brace,
+                   1 AS r_blocklist,
+                   ((n_sent >= 2) AND NOT has_lorem
+                    AND NOT has_brace)::INT AS c4_pass
+            FROM m
+        """,
+        "select_by_budget": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       w -> w <> ''))::BIGINT AS n_tokens,
+                       n_chars::DOUBLE AS score
+                FROM documents
+            ), c AS (
+                SELECT *, coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY score DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens FROM c WHERE cb < 800
         """,
         "shard_shuffle": r"""
             WITH h AS (

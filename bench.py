@@ -59,6 +59,8 @@ HEADLINE = [
     "chunk_sequences",        # LM chunk windowing (pure codegen explode)
     "bpe_encode_det",         # BPE segmentation kernel (unique-word cache)
     "lm_perplexity",          # CCNet LM scoring (train + broadcast score)
+    "gopher_rules",           # Gopher filter bundle (zero-shuffle codegen)
+    "select_by_budget",       # token-budget selection (bucket scale path)
 ]
 
 

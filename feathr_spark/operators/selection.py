@@ -22,7 +22,7 @@ Two scoring paths, both shuffle-light at 10^12-document scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feathr_spark.operators.text import _words, normalize_text
@@ -154,3 +154,110 @@ def importance_threshold(
     q = 1.0 - keep_fraction
     return float(scored.agg(
         F.expr(f"percentile({score_col}, {q})")).collect()[0][0])
+
+
+def select_by_budget(
+    df: DataFrame,
+    budget: float,
+    token_col: str = "n_tokens",
+    score_col: str = "importance",
+    group_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+    method: str = "window",
+    score_buckets: int = 4096,
+) -> DataFrame:
+    """Token-budget corpus selection: walk documents in quality order
+    (``score_col`` DESC, ``key_col`` ASC — deterministic) and keep each
+    doc whose cumulative token count *before* it is under ``budget``
+    (greedy fill: the doc that crosses the line is kept, so the budget
+    is always met when enough data exists). With ``group_cols`` the
+    budget applies per group — the "N tokens per source" mixture step
+    after :func:`feathr_spark.operators.corpus.mixture_weights` decides
+    the per-source shares.
+
+    Two exact strategies:
+
+    - ``method="window"``: one Exchange on the group key + per-group
+      sort, running sum over the preceding frame. Exact and simple, but
+      each group sorts in a single task — fine while a group's (score,
+      token) pairs fit a task sort-spill budget.
+    - ``method="bucket"`` (scale path): quantize score into
+      ``score_buckets`` cells on [min, max] (two bounded aggregates),
+      aggregate per-(group, cell) token totals (bounded shuffle:
+      |groups| x score_buckets cells), broadcast back per-group
+      boundary cells. Docs in cells above the boundary are kept by a
+      pure FILTER (no shuffle of the corpus); only the boundary cell's
+      docs — a ~1/score_buckets sliver — run the exact window with the
+      higher-cell total as offset. Identical output to ``window``
+      because cell id is monotone in score and within-cell ordering
+      matches the global (score DESC, key ASC) order.
+
+    Reference analogue: row-filter transforms + generation-time
+    cutoffs (feathr-impl offline/config/FeatureGenConfig.scala window
+    cutoff); the budget walk itself is LLM-corpus practice (DoReMi /
+    DSIR-style token-share selection).
+    """
+    groups = list(group_cols or [])
+    gexprs = [F.col(g) for g in groups]
+    order = [F.col(score_col).desc_nulls_last(), F.col(key_col).asc()]
+
+    if method == "window":
+        w = (Window.partitionBy(*gexprs).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0.0))
+        return (df.withColumn("__cb", cum_before)
+                .where(F.col("__cb") < F.lit(budget)).drop("__cb"))
+
+    if method == "bucket":
+        bounds = df.agg(F.min(score_col).alias("lo"),
+                        F.max(score_col).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None or hi is None or lo == hi:
+            # degenerate score distribution: everything is one cell
+            return select_by_budget(df, budget, token_col, score_col,
+                                    groups, key_col, method="window")
+        span = float(hi) - float(lo)
+        # cell id monotone in score; hi maps to score_buckets - 1;
+        # null scores coalesce to lo (they sort last in the window
+        # order, matching desc_nulls_last in the exact method)
+        cell = F.least(
+            F.floor((F.coalesce(F.col(score_col), F.lit(float(lo)))
+                     - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(score_buckets)).cast("int"),
+            F.lit(score_buckets - 1))
+        cells = (df.groupBy(*gexprs, cell.alias("__cell"))
+                 .agg(F.sum(token_col).alias("__t")))
+        wcum = (Window.partitionBy(*[F.col(g) for g in groups])
+                .orderBy(F.col("__cell").desc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+        marked = cells.withColumn(
+            "__above", F.coalesce(F.sum("__t").over(wcum), F.lit(0.0)))
+        # boundary = highest cell whose preceding total is < budget but
+        # including total >= budget; cells above it are kept outright
+        bd = (marked.where((F.col("__above") < F.lit(budget))
+                           & (F.col("__above") + F.col("__t") >= F.lit(budget)))
+              .select(*groups, F.col("__cell").alias("__bcell"),
+                      F.col("__above").alias("__offset")))
+        tagged = df.withColumn("__cell", cell)
+        if groups:
+            j = tagged.join(F.broadcast(bd), groups, "left")
+        else:
+            # left join on a constant key: an EMPTY boundary table
+            # (whole corpus fits the budget) must keep every row
+            j = (tagged.withColumn("__one", F.lit(1))
+                 .join(F.broadcast(bd.withColumn("__one", F.lit(1))),
+                       "__one", "left").drop("__one"))
+        # no boundary row => the whole group fits the budget: keep all
+        keep_hi = j.where(F.col("__bcell").isNull()
+                          | (F.col("__cell") > F.col("__bcell")))
+        at_bd = j.where(F.col("__cell") == F.col("__bcell"))
+        wb = (Window.partitionBy(*gexprs).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        keep_bd = (at_bd.withColumn(
+            "__cb", F.col("__offset")
+            + F.coalesce(F.sum(token_col).over(wb), F.lit(0.0)))
+            .where(F.col("__cb") < F.lit(budget)).drop("__cb"))
+        drop_cols = ["__cell", "__bcell", "__offset"]
+        return keep_hi.drop(*drop_cols).unionByName(keep_bd.drop(*drop_cols))
+
+    raise ValueError(f"unknown method {method!r}")

@@ -14,6 +14,7 @@ hash + rolling shingle hashes).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -422,4 +423,72 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text", **thresholds) -> Da
     out = df
     for name, col in gopher_rules(text_col, **thresholds).items():
         out = out.withColumn(name, col)
+    return out
+
+
+def c4_rules(
+    text: Column | str,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> dict[str, Column]:
+    """C4 cleaning bundle (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", section 2.2) as pure JVM expressions — the
+    other canonical pretraining filter set next to
+    :func:`gopher_rules`.
+
+    Line step (produces ``c4_clean_text``): keep only lines that end in
+    terminal punctuation (``. ! ? "``), contain at least
+    ``min_line_words`` words, and do not mention "javascript"
+    (case-insensitive) — the boilerplate cookie/JS-warning killer.
+
+    Document flags over the CLEANED text: ``r_min_sentences`` (at least
+    ``min_sentences`` terminal-punctuation marks survive),
+    ``r_no_lorem`` (no "lorem ipsum"), ``r_no_brace`` (no ``{`` — code,
+    not prose), ``r_blocklist`` (none of the caller-supplied lowercase
+    blocklist words appear; empty default — supply your own list), and
+    the conjunction ``c4_pass``.
+
+    Zero shuffle, whole-stage codegen; ~one Project node
+    (split / filter / array_join / rlike). Deterministic sentence
+    proxy: count of ``. ! ?`` characters in the cleaned text (C4's
+    reference implementation splits on heuristic sentence boundaries;
+    the terminal-punct count is the engine-portable form and is
+    documented as such).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+           >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    lclean = F.lower(clean)
+    flags: dict[str, Column] = {
+        "c4_clean_text": clean,
+        "r_min_sentences": n_sent >= min_sentences,
+        "r_no_lorem": ~lclean.contains("lorem ipsum"),
+        "r_no_brace": ~clean.contains("{"),
+    }
+    block_ok = F.lit(True)
+    for wd in blocklist:
+        block_ok = block_ok & ~lclean.rlike(
+            r"(^|\s)" + re.escape(wd.lower()) + r"($|\s)")
+    flags["r_blocklist"] = block_ok
+    gate = F.lit(True)
+    for name, colx in flags.items():
+        if name != "c4_clean_text":
+            gate = gate & colx
+    flags["c4_pass"] = gate
+    return flags
+
+
+def with_c4_rules(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    out = df
+    for name, colx in c4_rules(text_col, **kw).items():
+        out = out.withColumn(name, colx)
     return out

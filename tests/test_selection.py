@@ -64,3 +64,47 @@ def test_threshold_keeps_fraction(corpus):
     # to exactly the empty doc's 0.0, so >= keeps it too (10 tgt + 1)
     assert kept == 11
     assert thr == 0.0
+
+
+def test_select_by_budget_boundary_semantics(spark):
+    from feathr_spark.operators.selection import select_by_budget
+
+    # scores force order d3 > d2 > d1; tokens 10 each; budget 15 keeps
+    # d3 (cum_before 0) and d2 (cum_before 10 < 15) but not d1 (20)
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 2.0, 10), (3, 3.0, 10)],
+        "doc_id long, score double, n_tokens long")
+    kept = sorted(r["doc_id"] for r in
+                  select_by_budget(df, 15, "n_tokens", "score",
+                                   key_col="doc_id").collect())
+    assert kept == [2, 3]
+    # exact-budget edge: cum_before == budget is NOT kept
+    kept = sorted(r["doc_id"] for r in
+                  select_by_budget(df, 10, "n_tokens", "score",
+                                   key_col="doc_id").collect())
+    assert kept == [3]
+
+
+def test_select_by_budget_bucket_matches_window(spark, corpus):
+    from feathr_spark.operators.selection import select_by_budget
+
+    scored = corpus.withColumn(
+        "n_tokens", F.size(F.filter(F.split("text", r"\s+"),
+                                    lambda w: w != ""))) \
+        .withColumn("score", F.length("text").cast("double"))
+    for budget in (5.0, 40.0, 10_000.0):
+        a = select_by_budget(scored, budget, "n_tokens", "score",
+                             ["source"], method="window")
+        b = select_by_budget(scored, budget, "n_tokens", "score",
+                             ["source"], method="bucket", score_buckets=16)
+        ka = sorted(r["doc_id"] for r in a.collect())
+        kb = sorted(r["doc_id"] for r in b.collect())
+        assert ka == kb, f"budget={budget}"
+    # degenerate constant score falls back to the window path
+    const = scored.withColumn("score", F.lit(1.0))
+    c = select_by_budget(const, 40.0, "n_tokens", "score",
+                         ["source"], method="bucket")
+    d = select_by_budget(const, 40.0, "n_tokens", "score",
+                         ["source"], method="window")
+    assert sorted(r["doc_id"] for r in c.collect()) == \
+        sorted(r["doc_id"] for r in d.collect())

@@ -411,3 +411,38 @@ def test_token_dup_groups_exact_sequences(spark):
         "doc_id long, tokens array<int>")
     got = {r["keep_id"]: r["n_dups"] for r in token_dup_groups(toks).collect()}
     assert got == {1: 2, 3: 2}  # order-sensitive: [3,2,1] is NOT a dup
+
+
+def test_c4_rules_branches(spark):
+    from feathr_spark.operators.text import with_c4_rules
+
+    rows = [
+        (1, "This is a good long sentence that ends properly.\n"
+            "Another proper sentence with enough words here.\n"
+            "And a third full sentence to pass the count."),
+        (2, "no terminal punctuation on this line\n"
+            "short one.\n"
+            "Please enable JavaScript to view this page properly."),
+        (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed.\n"
+            "Second full sentence right here with words.\n"
+            "Third proper sentence is also present here."),
+        (4, "function foo() { return 1; } but this sentence is long enough to stay.\n"
+            "Another good sentence with plenty of words.\n"
+            "A third sentence with plenty of words too."),
+        (5, "A banned sentence mentioning badword right here today.\n"
+            "Another perfectly fine long sentence follows it here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           with_c4_rules(df, blocklist=("badword",)).collect()}
+    assert out[1]["c4_pass"] is True
+    # doc 2: every line is dropped (no punct / <5 words / javascript)
+    assert out[2]["c4_clean_text"] == ""
+    assert out[2]["r_min_sentences"] is False
+    assert out[3]["r_no_lorem"] is False
+    assert out[4]["r_no_brace"] is False
+    assert out[5]["r_blocklist"] is False
+    assert all(not out[i]["c4_pass"] for i in (2, 3, 4, 5))
+    # the line filter really removes only the offending lines
+    assert "JavaScript" not in out[2]["c4_clean_text"]
+    assert out[1]["c4_clean_text"].count("\n") == 2
