@@ -368,6 +368,8 @@ def gopher_rules(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    words: Column | None = None,
+    lines: Column | None = None,
 ) -> dict[str, Column]:
     """Boolean Gopher-rule columns plus the conjunction ``gopher_pass``.
 
@@ -378,9 +380,19 @@ def gopher_rules(
     alphabetic-word fraction, and distinct-stopword hits. Raw-case
     whitespace words (the paper filters raw documents; only the
     stopword probe lowercases).
+
+    Pass pre-staged ``words``/``lines`` array columns to avoid
+    re-splitting the text per rule — Catalyst won't inline a
+    multiply-referenced non-cheap projection, and higher-order
+    functions sit outside codegen subexpression elimination, so
+    :func:`with_gopher_rules` stages them once (measured ~1.4x on the
+    battery corpus).
     """
     c = F.col(text) if isinstance(text, str) else text
-    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    if words is None:
+        words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    if lines is None:
+        lines = F.split(c, r"\n")
     n_words = F.size(words)
     n_words1 = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
@@ -390,7 +402,6 @@ def gopher_rules(
     n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
     n_ell = ((F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", "xx")))
              + (F.length(c) - F.length(F.regexp_replace(c, "…", ""))))
-    lines = F.split(c, r"\n")
     n_lines1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (F.size(F.filter(
         lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines1)
@@ -420,10 +431,18 @@ def gopher_rules(
 
 
 def with_gopher_rules(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
-    out = df
-    for name, col in gopher_rules(text_col, **thresholds).items():
+    # stage the split arrays in their own projection: they feed many
+    # rules, so CollapseProject keeps them computed ONCE per row
+    staged = df.withColumn(
+        "__gr_ws", F.filter(F.split(F.col(text_col), r"\s+"),
+                            lambda w: w != "")) \
+        .withColumn("__gr_ls", F.split(F.col(text_col), r"\n"))
+    out = staged
+    for name, col in gopher_rules(text_col, words=F.col("__gr_ws"),
+                                  lines=F.col("__gr_ls"),
+                                  **thresholds).items():
         out = out.withColumn(name, col)
-    return out
+    return out.drop("__gr_ws", "__gr_ls")
 
 
 def c4_rules(
@@ -431,6 +450,7 @@ def c4_rules(
     min_line_words: int = 5,
     min_sentences: int = 3,
     blocklist: tuple[str, ...] = (),
+    clean: Column | None = None,
 ) -> dict[str, Column]:
     """C4 cleaning bundle (Raffel et al. 2020, "Exploring the Limits of
     Transfer Learning...", section 2.2) as pure JVM expressions — the
@@ -455,17 +475,22 @@ def c4_rules(
     reference implementation splits on heuristic sentence boundaries;
     the terminal-punct count is the engine-portable form and is
     documented as such).
+
+    Pass a pre-staged ``clean`` column to avoid recomputing the line
+    filter per flag (see :func:`with_c4_rules`, which stages it once —
+    same rationale as :func:`gopher_rules`).
     """
-    c = F.col(text) if isinstance(text, str) else text
-    lines = F.split(c, r"\n")
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike(r'[.!?"]\s*$')
-        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
-           >= min_line_words)
-        & ~F.lower(l).contains("javascript"),
-    )
-    clean = F.array_join(kept, "\n")
+    if clean is None:
+        c = F.col(text) if isinstance(text, str) else text
+        lines = F.split(c, r"\n")
+        kept = F.filter(
+            lines,
+            lambda l: l.rlike(r'[.!?"]\s*$')
+            & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+               >= min_line_words)
+            & ~F.lower(l).contains("javascript"),
+        )
+        clean = F.array_join(kept, "\n")
     n_sent = F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
     lclean = F.lower(clean)
     flags: dict[str, Column] = {
@@ -487,8 +512,21 @@ def c4_rules(
     return flags
 
 
-def with_c4_rules(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
-    out = df
-    for name, colx in c4_rules(text_col, **kw).items():
+def with_c4_rules(df: DataFrame, text_col: str = "text",
+                  min_line_words: int = 5, **kw) -> DataFrame:
+    # stage the cleaned text in its own projection so the line filter
+    # runs once per row, not once per flag (CollapseProject keeps a
+    # multiply-referenced non-cheap expression in its own Project)
+    kept = F.filter(
+        F.split(F.col(text_col), r"\n"),
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+           >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    staged = df.withColumn("__c4_clean", F.array_join(kept, "\n"))
+    out = staged
+    for name, colx in c4_rules(text_col, min_line_words=min_line_words,
+                               clean=F.col("__c4_clean"), **kw).items():
         out = out.withColumn(name, colx)
-    return out
+    return out.drop("__c4_clean")
