@@ -1801,6 +1801,31 @@ def q_c4_rules(spark, sf_dir):
                     "r_blocklist", "c4_pass")])
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Full Gopher A1.1 repetition-filter set
+    (operators/corpus.py::gopher_repetition): dup line/para fractions
+    (count + char), top-n-gram char fractions, duplicated-n-gram char
+    coverage (overlaps counted once). The synthetic corpus has no
+    newlines, so line/paragraph structure is synthesized with chained
+    literal replaces (identical left-to-right semantics in Spark and
+    DuckDB); the n-gram statistics run on the normalized word stream.
+    The oracle replays every statistic with DuckDB list/lateral ops —
+    ties in the top-n-gram pick are value-identical because the frac
+    depends only on (count, charlen), the tie-break keys."""
+    from feathr_spark.operators.corpus import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(F.col("text"), F.lit(" data "), F.lit("\ndata "))
+    t = F.replace(t, F.lit(" the "), F.lit("\n\nthe "))
+    staged = docs.select("doc_id", t.alias("text"))
+    out = gopher_repetition(staged, top_ngram_ns=(2, 3), dup_ngram_ns=(5,))
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "dup_5gram_char_frac")
+
+
 def q_select_by_budget(spark, sf_dir):
     """Token-budget corpus selection: per-source greedy fill in quality
     order, 800 tokens per source
@@ -1929,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "shard_shuffle": q_shard_shuffle,
         "c4_rules": q_c4_rules,
+        "gopher_repetition": q_gopher_repetition,
         "select_by_budget": q_select_by_budget,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -3232,6 +3258,123 @@ def oracle_sql() -> dict[str, str]:
                    ((n_sent >= 2) AND NOT has_lorem
                     AND NOT has_brace)::INT AS c4_pass
             FROM m
+        """,
+        "gopher_repetition": r"""
+            WITH staged AS (
+                SELECT doc_id,
+                       replace(replace(text, ' data ', chr(10) || 'data '),
+                               ' the ', chr(10) || chr(10) || 'the ')
+                           AS text
+                FROM documents
+            ), seg AS (
+                SELECT doc_id, text,
+                       list_filter(list_transform(
+                           regexp_split_to_array(text, '\n'),
+                           s -> trim(s)), s -> s <> '') AS ls,
+                       list_filter(list_transform(
+                           regexp_split_to_array(text, '\n{2}'),
+                           s -> trim(s)), s -> s <> '') AS ps
+                FROM staged
+            ), segstats AS (
+                SELECT doc_id,
+                       CASE WHEN len(ls) > 0 THEN
+                           1.0 - len(list_distinct(ls)) / len(ls)::DOUBLE
+                       ELSE 0.0 END AS dup_line_frac,
+                       CASE WHEN coalesce(list_aggregate(list_transform(
+                                ls, s -> length(s)), 'sum'), 0) > 0 THEN
+                           coalesce(list_aggregate(list_transform(
+                               list_distinct(ls),
+                               d -> (len(list_filter(ls, x -> x = d)) - 1)
+                                    * length(d)), 'sum'), 0)
+                           / coalesce(list_aggregate(list_transform(
+                               ls, s -> length(s)), 'sum'), 0)::DOUBLE
+                       ELSE 0.0 END AS dup_line_char_frac,
+                       CASE WHEN len(ps) > 0 THEN
+                           1.0 - len(list_distinct(ps)) / len(ps)::DOUBLE
+                       ELSE 0.0 END AS dup_para_frac,
+                       CASE WHEN coalesce(list_aggregate(list_transform(
+                                ps, s -> length(s)), 'sum'), 0) > 0 THEN
+                           coalesce(list_aggregate(list_transform(
+                               list_distinct(ps),
+                               d -> (len(list_filter(ps, x -> x = d)) - 1)
+                                    * length(d)), 'sum'), 0)
+                           / coalesce(list_aggregate(list_transform(
+                               ps, s -> length(s)), 'sum'), 0)::DOUBLE
+                       ELSE 0.0 END AS dup_para_char_frac
+                FROM seg
+            ), w AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                           '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+                FROM staged
+            ), wtc AS (
+                SELECT doc_id, ws,
+                       coalesce(list_aggregate(list_transform(
+                           ws, x -> length(x)), 'sum'), 0) AS tc
+                FROM w
+            ), g2 AS (
+                SELECT doc_id,
+                       array_to_string(ws[i:i+1], ' ') AS ng,
+                       list_aggregate(list_transform(ws[i:i+1],
+                           x -> length(x)), 'sum') AS cl
+                FROM wtc, unnest(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2
+            ), top2 AS (
+                SELECT doc_id, c * cl AS chars FROM (
+                    SELECT doc_id, cl, count(*) AS c,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY count(*) DESC, cl DESC) AS rn
+                    FROM g2 GROUP BY doc_id, ng, cl)
+                WHERE rn = 1
+            ), g3 AS (
+                SELECT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS ng,
+                       list_aggregate(list_transform(ws[i:i+2],
+                           x -> length(x)), 'sum') AS cl
+                FROM wtc, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+            ), top3 AS (
+                SELECT doc_id, c * cl AS chars FROM (
+                    SELECT doc_id, cl, count(*) AS c,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY count(*) DESC, cl DESC) AS rn
+                    FROM g3 GROUP BY doc_id, ng, cl)
+                WHERE rn = 1
+            ), g5 AS (
+                SELECT doc_id, i,
+                       array_to_string(ws[i:i+4], ' ') AS ng
+                FROM wtc, unnest(range(1, len(ws) - 3)) AS t(i)
+                WHERE len(ws) >= 5
+            ), d5 AS (
+                SELECT doc_id, ng FROM g5
+                GROUP BY doc_id, ng HAVING count(*) > 1
+            ), cov AS (
+                SELECT DISTINCT g.doc_id, j
+                FROM g5 g JOIN d5 USING (doc_id, ng),
+                     unnest(range(g.i, g.i + 5)) AS c(j)
+            ), covchars AS (
+                SELECT cov.doc_id,
+                       sum(length(list_extract(wtc.ws, j))) AS ch
+                FROM cov JOIN wtc USING (doc_id)
+                GROUP BY cov.doc_id
+            )
+            SELECT s.doc_id, s.dup_line_frac, s.dup_line_char_frac,
+                   s.dup_para_frac, s.dup_para_char_frac,
+                   CASE WHEN wtc.tc > 0 AND top2.chars IS NOT NULL
+                        THEN top2.chars / wtc.tc::DOUBLE ELSE 0.0 END
+                       AS top_2gram_char_frac,
+                   CASE WHEN wtc.tc > 0 AND top3.chars IS NOT NULL
+                        THEN top3.chars / wtc.tc::DOUBLE ELSE 0.0 END
+                       AS top_3gram_char_frac,
+                   CASE WHEN wtc.tc > 0 AND covchars.ch IS NOT NULL
+                        THEN covchars.ch / wtc.tc::DOUBLE ELSE 0.0 END
+                       AS dup_5gram_char_frac
+            FROM segstats s
+            JOIN wtc USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN covchars USING (doc_id)
         """,
         "select_by_budget": r"""
             WITH t AS (

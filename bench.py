@@ -60,6 +60,7 @@ HEADLINE = [
     "bpe_encode_det",         # BPE segmentation kernel (unique-word cache)
     "lm_perplexity",          # CCNet LM scoring (train + broadcast score)
     "gopher_rules",           # Gopher filter bundle (zero-shuffle codegen)
+    "gopher_repetition",      # full A1.1 repetition set (hash n-gram jobs)
     "select_by_budget",       # token-budget selection (bucket scale path)
 ]
 

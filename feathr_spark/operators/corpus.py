@@ -789,3 +789,150 @@ def _rolling_window_hashes(wh: Column, window: int) -> Column:
         F.size(wh) >= window,
         F.transform(F.sequence(F.lit(0), F.size(wh) - window), _win),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The COMPLETE Gopher repetition-filter set (Rae et al. 2021,
+    appendix A1.1) — the published thresholds reject documents on any
+    of these; :func:`feathr_spark.operators.text.repetition_features`
+    carries the two cheapest signals, this computes the full table:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of non-blank
+      lines / paragraphs (split on one / two newlines) that repeat an
+      earlier one — ``1 - distinct/total``;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in
+      the repeated occurrences / total segment characters;
+    - ``top_{n}gram_char_frac`` (n in ``top_ngram_ns``): characters of
+      the most frequent word n-gram x its count / total word
+      characters (ties broken by larger n-gram length — both engines
+      agree because the frac depends only on (count, length));
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ngram_ns``): fraction of
+      word characters covered by n-grams occurring more than once in
+      the document, overlapping coverage counted ONCE (span-union via
+      :func:`_covered_indices`).
+
+    Words are :func:`_text_words` (normalized); line/para splits run on
+    the RAW text, as in the paper.
+
+    Scale shape: segment fractions are doc-local JVM array expressions
+    (zero shuffle; O(distinct x total) comparisons per doc — lines and
+    paragraphs are short). Each n-gram statistic explodes
+    ``(id, pos, win_hash[, charlen])`` — 8-byte rolling hashes
+    (:func:`_rolling_window_hashes`), never n-gram text — into a
+    map-side-combined groupBy bounded by distinct (doc, ngram) pairs;
+    per-doc results are skinny (one row per doc) and join back in ONE
+    doc-keyed join after an all-skinny merge. The hashed word array is
+    built once and persisted across all ``len(top)+len(dup)`` jobs.
+    Cite: duplicate_windows (cross-doc form) shares the hash kernel.
+    """
+    def _seg_stats(delim: str) -> tuple[Column, Column]:
+        segs = F.filter(
+            F.transform(F.split(F.col(text_col), delim), F.trim),
+            lambda s: s != "")
+        nseg = F.size(segs)
+        dup_frac = F.when(
+            nseg > 0,
+            1.0 - F.size(F.array_distinct(segs)) / nseg.cast("double"),
+        ).otherwise(F.lit(0.0))
+        tot = F.aggregate(segs, F.lit(0).cast("long"),
+                          lambda a, s: a + F.length(s))
+        dup_chars = F.aggregate(
+            F.array_distinct(segs), F.lit(0).cast("long"),
+            lambda a, d: a + (F.size(F.filter(segs, lambda x: x == d)) - 1)
+            * F.length(d))
+        char_frac = F.when(tot > 0, dup_chars / tot.cast("double")) \
+            .otherwise(F.lit(0.0))
+        return dup_frac, char_frac
+
+    line_frac, line_char = _seg_stats(r"\n")
+    para_frac, para_char = _seg_stats(r"\n{2}")
+    base = (df.withColumn("dup_line_frac", line_frac)
+            .withColumn("dup_line_char_frac", line_char)
+            .withColumn("dup_para_frac", para_frac)
+            .withColumn("dup_para_char_frac", para_char))
+
+    slim = df.select(F.col(id_col), F.col(text_col))
+    # the word-hash transforms and the downstream explodes inherit the
+    # input partitioning; when the source arrives in fewer splits than
+    # the session can use (one small file, a coalesced upstream), ONE
+    # id-keyed exchange of (id, text) before the heavy transforms is
+    # amortized over all len(top)+len(dup) consuming jobs. At real
+    # scale the file splits already saturate and the exchange is
+    # skipped.
+    sc = df.sparkSession.sparkContext
+    if slim.rdd.getNumPartitions() < max(sc.defaultParallelism // 2, 2):
+        slim = slim.repartition(F.col(id_col))
+    words = _text_words(text_col)
+    arr = slim.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("__wh"),
+        F.transform(words, lambda w: F.length(w)).alias("__wl"),
+    ).withColumn(
+        "__tc", F.aggregate("__wl", F.lit(0).cast("long"),
+                            lambda a, x: a + x))
+    arr = track_cache(arr.persist(StorageLevel.MEMORY_AND_DISK))
+
+    skinny: DataFrame | None = arr.select(id_col, "__tc")
+    for n in top_ngram_ns:
+        wl = F.col("__wl")
+        rcl = F.when(
+            F.size(wl) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wl) - n),
+                lambda i: F.aggregate(F.slice(wl, i + 1, n),
+                                      F.lit(0).cast("long"),
+                                      lambda a, x: a + x)))
+        wins = arr.select(
+            F.col(id_col),
+            F.explode(F.arrays_zip(
+                _rolling_window_hashes(F.col("__wh"), n).alias("h"),
+                rcl.alias("cl"))).alias("z"))
+        top = (wins.groupBy(id_col, "z.h", "z.cl")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.max(F.struct("c", "cl")).alias("s"))
+               .select(id_col,
+                       (F.col("s.c") * F.col("s.cl")).cast("long")
+                       .alias(f"__top{n}")))
+        skinny = skinny.join(top, id_col, "left")
+    for n in dup_ngram_ns:
+        wins = arr.select(
+            F.col(id_col),
+            F.posexplode(_rolling_window_hashes(F.col("__wh"), n))
+            .alias("pos", "h"))
+        pos_per_doc = (wins.groupBy(id_col, "h")
+                       .agg(F.collect_list("pos").alias("ps"))
+                       .where(F.size("ps") >= 2)
+                       .groupBy(id_col)
+                       .agg(F.flatten(F.collect_list("ps")).alias("ap")))
+        cov = (arr.join(pos_per_doc, id_col)
+               .select(
+                   F.col(id_col),
+                   F.aggregate(
+                       _covered_indices(F.col("ap"), n),
+                       F.lit(0).cast("long"),
+                       lambda a, i: a + F.element_at("__wl", i + 1))
+                   .alias(f"__cov{n}")))
+        skinny = skinny.join(cov, id_col, "left")
+
+    out = base.join(skinny, id_col, "left")
+    tc = F.col("__tc").cast("double")
+    for n in top_ngram_ns:
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.when((F.col("__tc") > 0) & F.col(f"__top{n}").isNotNull(),
+                   F.col(f"__top{n}") / tc).otherwise(F.lit(0.0)))
+    for n in dup_ngram_ns:
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.when((F.col("__tc") > 0) & F.col(f"__cov{n}").isNotNull(),
+                   F.col(f"__cov{n}") / tc).otherwise(F.lit(0.0)))
+    drops = (["__tc"] + [f"__top{n}" for n in top_ngram_ns]
+             + [f"__cov{n}" for n in dup_ngram_ns])
+    return out.drop(*drops)

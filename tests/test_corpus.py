@@ -351,3 +351,31 @@ def test_shard_shuffle_deterministic_dense(spark):
     c = shard_shuffle(df, n_shards=4, seed=8)
     assert sorted(got) != sorted((r["doc_id"], r["shard"], r["pos"])
                                  for r in c.collect())
+
+
+def test_gopher_repetition_hand_values(spark):
+    from feathr_spark.operators.corpus import gopher_repetition
+
+    rows = [
+        (1, "ab ab ab cd"),            # top2: "ab ab" x2, 4 chars / 8
+        (2, "a\nb\na"),                # dup line 1/3, chars 1/3
+        (3, "x y\n\nx y"),             # dup para 1/2, chars 1/2
+        (4, "a b c d e a b c d e f"),  # dup 5-gram covers 10/11 words
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_repetition(df, top_ngram_ns=(2,), dup_ngram_ns=(5,)).collect()}
+    assert abs(out[1]["top_2gram_char_frac"] - 1.0) < 1e-12
+    assert abs(out[2]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(out[2]["dup_line_char_frac"] - 1 / 3) < 1e-12
+    assert abs(out[3]["dup_para_frac"] - 0.5) < 1e-12
+    assert abs(out[3]["dup_para_char_frac"] - 0.5) < 1e-12
+    assert abs(out[4]["dup_5gram_char_frac"] - 10 / 11) < 1e-12
+    # overlap counted once: "a b a b a b" has dup bigram "a b" (and
+    # "b a") covering all 6 words, not 6+4 double counts
+    df2 = spark.createDataFrame([(9, "a b a b a b")], "doc_id long, text string")
+    r = gopher_repetition(df2, top_ngram_ns=(2,), dup_ngram_ns=(2,)).collect()[0]
+    assert abs(r["dup_2gram_char_frac"] - 1.0) < 1e-12
+    assert all(v == 0.0 for k, v in out[5].asDict().items()
+               if k.endswith("_frac"))
