@@ -1728,6 +1728,25 @@ def q_contamination(spark, sf_dir):
     return contamination(train, bench, n=3)
 
 
+def q_token_contamination(spark, sf_dir):
+    """Benchmark decontamination ENTIRELY in token space: the corpus is
+    encoded with an injective full vocabulary (the north-star
+    pre-tokenized shape) and overlap runs on rolling token-3-gram
+    hashes (operators/tokens.py::token_contamination) — no text round
+    trip. With an injective vocab a token 3-gram corresponds 1:1 to a
+    word 3-gram, so the word-space DuckDB oracle must match
+    row-for-row."""
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+    from feathr_spark.operators.tokens import token_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocabulary(docs, max_size=100_000, min_count=1)
+    toks = encode_tokens(docs, vocab, keep_cols=())
+    bench = toks.where(F.col("doc_id") % 37 == 0)
+    train = toks.where(F.col("doc_id") % 37 != 0)
+    return token_contamination(train, bench, n=3)
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing: 128 whitespace
     tokens per training sequence, packed independently per source
@@ -1956,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "gopher_repetition": q_gopher_repetition,
         "select_by_budget": q_select_by_budget,
+        "token_contamination": q_token_contamination,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "tokenize_docs": q_tokenize_docs,
@@ -2079,6 +2099,28 @@ _SHINGLE_JACCARD_CTE = r"""
                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS j
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
+"""
+
+_CONTAMINATION_ORACLE = r"""
+    WITH w AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(
+            trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                '\s+', ' ', 'g')),
+            '\s+'), x -> x <> '') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(words) - 2, 0) + 1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+    ), bench AS (
+        SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
+    ), doc_g AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0
+    )
+    SELECT d.doc_id, count(*)::BIGINT AS n_hits
+    FROM doc_g d JOIN bench b ON d.g = b.g
+    GROUP BY d.doc_id
 """
 
 _JACCARD_PAIRS_ORACLE = f"""
@@ -3438,27 +3480,11 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: rows-only (approximate recall is seed/probe-dependent,
         # not SQL-expressible; exact-top-k parity is covered by
         # knn_bruteforce's green oracle)
-        "contamination_check": r"""
-            WITH w AS (
-                SELECT doc_id, list_filter(regexp_split_to_array(
-                    trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
-                                        '\s+', ' ', 'g')),
-                    '\s+'), x -> x <> '') AS words
-                FROM documents
-            ), sh AS (
-                SELECT doc_id, list_distinct(list_transform(
-                    range(1, greatest(len(words) - 2, 0) + 1),
-                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
-                FROM w
-            ), bench AS (
-                SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
-            ), doc_g AS (
-                SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0
-            )
-            SELECT d.doc_id, count(*)::BIGINT AS n_hits
-            FROM doc_g d JOIN bench b ON d.g = b.g
-            GROUP BY d.doc_id
-        """,
+        "contamination_check": _CONTAMINATION_ORACLE,
+        # token 3-grams over an injective vocabulary == word 3-grams
+        # over normalized text: the token-space decontamination must
+        # reproduce the word-space oracle row-for-row
+        "token_contamination": _CONTAMINATION_ORACLE,
         "pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id, source,

@@ -167,3 +167,69 @@ def decode_tokens(
             yield res
 
     return base.mapInPandas(_decode, schema=out_schema)
+
+
+def token_ngram_hashes(tokens_col: Column | str, n: int) -> Column:
+    """Distinct rolling n-gram hashes over a token-id sequence: each id
+    is xxhash64-spread, windows combine with the position-sensitive
+    rotate-XOR fold shared with
+    :func:`feathr_spark.operators.corpus.duplicate_windows` — equal
+    token subsequences hash equal, 8-byte longs throughout, pure
+    codegen."""
+    from feathr_spark.operators.corpus import _rolling_window_hashes
+
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    th = F.transform(c, lambda t: F.xxhash64(t))
+    return F.array_distinct(_rolling_window_hashes(th, n))
+
+
+def token_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    bench_tokens_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-overlap check ENTIRELY in token space — the
+    decontamination step for a pre-tokenized corpus, no text
+    round-trip (token twin of
+    :func:`feathr_spark.operators.corpus.contamination`; with an
+    injective vocabulary a token n-gram corresponds 1:1 to a word
+    n-gram, which is what the contract oracle exploits).
+
+    Returns ``(id_col, n_hits)`` — count of DISTINCT benchmark token
+    ``n``-grams each contaminated doc contains (docs with zero hits are
+    absent). Both sides reduce to 64-bit rolling n-gram hashes
+    (:func:`token_ngram_hashes`), so the join carries ``(id, long)``
+    rows; the benchmark set (eval suites are small) broadcasts by
+    default.
+    """
+    bench_tokens_col = bench_tokens_col or tokens_col
+    bench = (benchmark.select(
+        F.explode(token_ngram_hashes(bench_tokens_col, n)).alias("__gh"))
+        .distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(token_ngram_hashes(tokens_col, n)).alias("__gh"))
+    return (doc_grams.join(bench, on="__gh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def decontaminate_tokens(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    bench_tokens_col: str | None = None,
+) -> DataFrame:
+    """``docs`` minus every sequence sharing any token ``n``-gram with
+    ``benchmark`` (left-anti against :func:`token_contamination`)."""
+    hits = token_contamination(docs, benchmark, n, tokens_col, id_col,
+                               bench_tokens_col)
+    return docs.join(hits.select(id_col), on=id_col, how="left_anti")

@@ -121,3 +121,25 @@ def test_leakage_safe_split_groups_stay_together(spark):
     again = {r["doc_id"]: r["split"]
              for r in leakage_safe_split(df, 0.8).collect()}
     assert all(again[r["doc_id"]] == r["split"] for r in out.collect())
+
+
+def test_token_contamination_and_decontaminate(spark):
+    from feathr_spark.operators.tokens import (token_contamination,
+                                               decontaminate_tokens)
+
+    docs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5]),       # contains bench 3-grams (1,2,3),(2,3,4)
+         (2, [9, 9, 9, 9]),          # no overlap
+         (3, [2, 3, 4, 2, 3, 4]),    # (2,3,4) twice but DISTINCT hit = 1
+         (4, [7, 8])],               # shorter than n
+        "doc_id long, tokens array<int>")
+    bench = spark.createDataFrame(
+        [(100, [1, 2, 3, 4]),        # 3-grams (1,2,3),(2,3,4)
+         (101, [50, 51, 52])],
+        "doc_id long, tokens array<int>")
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            token_contamination(docs, bench, n=3).collect()}
+    assert hits == {1: 2, 3: 1}
+    left = sorted(r["doc_id"] for r in
+                  decontaminate_tokens(docs, bench, n=3).collect())
+    assert left == [2, 4]
