@@ -201,6 +201,12 @@ def select_by_budget(
     gexprs = [F.col(g) for g in groups]
     order = [F.col(score_col).desc_nulls_last(), F.col(key_col).asc()]
 
+    if budget <= 0:
+        # cum_before < budget can never hold; short-circuit BOTH
+        # strategies (the bucket path's "no boundary row" state would
+        # otherwise read an exhausted budget as "group fits entirely")
+        return df.where(F.lit(False))
+
     if method == "window":
         w = (Window.partitionBy(*gexprs).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -108,3 +108,16 @@ def test_select_by_budget_bucket_matches_window(spark, corpus):
                          ["source"], method="window")
     assert sorted(r["doc_id"] for r in c.collect()) == \
         sorted(r["doc_id"] for r in d.collect())
+
+
+def test_select_by_budget_zero_budget_keeps_nothing(spark):
+    from feathr_spark.operators.selection import select_by_budget
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 2.0, 0)],
+        "doc_id long, score double, n_tokens long")
+    for m in ("window", "bucket"):
+        assert select_by_budget(df, 0.0, "n_tokens", "score",
+                                method=m).count() == 0
+        assert select_by_budget(df, -5.0, "n_tokens", "score",
+                                method=m).count() == 0
