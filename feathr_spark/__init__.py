@@ -27,5 +27,6 @@ from feathr_spark.client import (  # noqa: F401
 from feathr_spark.operators.asof import asof_join  # noqa: F401
 from feathr_spark.operators.swa import join_window_agg_features  # noqa: F401
 from feathr_spark.session import get_spark, release_caches  # noqa: F401
+from feathr_spark.functions.fds import to_fds  # noqa: F401
 
 __version__ = "0.1.0"

@@ -153,13 +153,19 @@ class FeathrClient:
         output_path: Optional[str] = None,
         source_cache: Optional[dict] = None,
         checkpoint_every: int = 0,
+        output_format: str = "raw",
     ) -> DataFrame:
         """Point-in-time join of the requested features onto the
         observation (reference client.py:497-616). ``observation`` is a
         DataFrame or a path (the reference's observation_path).
         Per-query ``key`` binds those features' anchors to different
         observation key expressions (the reference's key tags). With
-        ``output_path`` the result is also written as parquet."""
+        ``output_path`` the result is also written as parquet.
+        ``output_format="fds"`` re-encodes every requested feature column
+        into Quince-FDS tensor format before returning/writing (the
+        reference always materializes offline joins as FDS —
+        SlidingWindowFeatureUtils.convertSWADFToFDS; here it is opt-in
+        and a pure projection, see functions/fds.py)."""
         self._require_built()
         from dataclasses import replace
 
@@ -236,6 +242,11 @@ class FeathrClient:
             requested=requested, source_cache=source_cache,
             checkpoint_every=checkpoint_every,
         )
+        if output_format == "fds":
+            from feathr_spark.functions.fds import to_fds
+            out, self.last_inferred_feature_types = to_fds(out, requested)
+        elif output_format != "raw":
+            raise ValueError(f"unknown output_format {output_format!r}")
         if output_path:
             out.write.mode("overwrite").parquet(output_path)
             out = self.spark.read.parquet(output_path)

@@ -210,3 +210,31 @@ def test_client_registry_rejects_code_hooks(spark, sf_dir, tmp_path):
     c.build_features(anchor_list=[a])
     with pytest.raises(ValueError, match="code hook"):
         c.register_features()
+
+
+def test_client_offline_fds_output(spark, sf_dir):
+    """output_format='fds' re-encodes the requested feature columns into
+    Quince-FDS tensors and leaves key/timestamp columns raw."""
+    client = FeathrClient(spark)
+    client.build_features(anchor_list=[_anchor(sf_dir)])
+    settings = ObservationSettings(keys=["user_id"], timestamp_col="ts",
+                                   timestamp_format="timestamp")
+    raw = client.get_offline_features(
+        _obs(spark, sf_dir), FeatureQuery(["v_sum_1h", "n_1d"]), settings)
+    got = client.get_offline_features(
+        _obs(spark, sf_dir), FeatureQuery(["v_sum_1h", "n_1d"]), settings,
+        output_format="fds")
+    dt = dict(got.dtypes)
+    assert dt["v_sum_1h"] == "float" and dt["n_1d"] == "float"
+    assert dt["user_id"] == dict(raw.dtypes)["user_id"]  # keys untouched
+    assert client.last_inferred_feature_types == {
+        "v_sum_1h": "NUMERIC", "n_1d": "NUMERIC"}
+    r = {x["event_id"]: x for x in raw.collect()}
+    g = {x["event_id"]: x for x in got.collect()}
+    import numpy as np
+    for eid, row in g.items():
+        want = r[eid]["v_sum_1h"]
+        if want is None:
+            assert row["v_sum_1h"] is None
+        else:
+            assert np.isclose(row["v_sum_1h"], np.float32(want))

@@ -1,0 +1,100 @@
+"""FDS tensor output encoding (FeaturizedDatasetUtils/FDSConversionUtils)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_spark.functions import fds
+
+
+def test_infer_feature_type(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", True, [1.0, 2.0], ["x"], {"t": 1.0})],
+        "i int, d double, s string, b boolean, dv array<double>, "
+        "cs array<string>, tv map<string,double>")
+    by = {f.name: fds.infer_feature_type(f.dataType) for f in df.schema.fields}
+    assert by == {
+        "i": fds.NUMERIC, "d": fds.NUMERIC, "s": fds.CATEGORICAL,
+        "b": fds.BOOLEAN, "dv": fds.DENSE_VECTOR, "cs": fds.CATEGORICAL_SET,
+        "tv": fds.TERM_VECTOR,
+    }
+
+
+def test_scalar_and_dense(spark):
+    df = spark.createDataFrame(
+        [(3, 2.25, True, [1.0, 2.5]), (None, None, None, None)],
+        "i int, d double, b boolean, dv array<double>")
+    out, types = fds.to_fds(df, ["i", "d", "b", "dv"])
+    assert dict(out.dtypes) == {
+        "i": "float", "d": "float", "b": "boolean", "dv": "array<float>"}
+    rows = out.collect()
+    assert rows[0].i == 3.0 and rows[0].d == 2.25 and rows[0].b is True
+    assert rows[0].dv == [1.0, 2.5]
+    assert rows[1] == (None, None, None, None)  # null raw -> null tensor
+    assert types == {"i": fds.NUMERIC, "d": fds.NUMERIC,
+                     "b": fds.BOOLEAN, "dv": fds.DENSE_VECTOR}
+
+
+def test_categorical_single_term(spark):
+    df = spark.createDataFrame([("BUILDING",), (None,)], "seg string")
+    out, types = fds.to_fds(df, ["seg"])
+    assert out.schema["seg"].dataType.simpleString() == \
+        "struct<indices0:array<string>,values:array<float>>"
+    r = out.collect()
+    assert r[0].seg.indices0 == ["BUILDING"] and r[0].seg.values == [1.0]
+    assert r[1].seg is None
+    assert types["seg"] == fds.CATEGORICAL
+
+
+def test_term_sort_lexical_vs_float(spark):
+    # all-numeric terms sort by float value ("10" after "2"); any
+    # non-parseable term flips the WHOLE array to lexical sort
+    # (FDSConversionUtils.scala:405-427 catches the first parse failure).
+    df = spark.createDataFrame(
+        [({"10": 1.0, "2": 2.0, "1": 3.0},),
+         ({"10": 1.0, "2": 2.0, "x": 3.0},)],
+        "tv map<string,double>")
+    out, _ = fds.to_fds(df, ["tv"])
+    r = out.collect()
+    assert r[0].tv.indices0 == ["1", "2", "10"]
+    assert r[0].tv.values == [3.0, 2.0, 1.0]
+    assert r[1].tv.indices0 == ["10", "2", "x"]  # lexical fallback
+    assert r[1].tv.values == [1.0, 2.0, 3.0]
+
+
+def test_categorical_set_and_grouped_swa_shape(spark):
+    df = spark.createDataFrame(
+        [(["b", "a"], [("t2", 4.0), ("t1", 3.0)])],
+        "cs array<string>, grp array<struct<term:string,value:double>>")
+    out, types = fds.to_fds(df, ["cs", "grp"])
+    r = out.collect()[0]
+    assert r.cs.indices0 == ["a", "b"] and r.cs.values == [1.0, 1.0]
+    # grouped SWA array<struct> treated as a term vector
+    assert r.grp.indices0 == ["t1", "t2"] and r.grp.values == [3.0, 4.0]
+    assert types == {"cs": fds.CATEGORICAL_SET, "grp": fds.TERM_VECTOR}
+
+
+def test_already_fds_passthrough_and_overrides(spark):
+    df = spark.createDataFrame(
+        [ (1, (["a"], [2.0]), "5") ],
+        "k int, pre struct<indices0:array<string>,values:array<float>>, s string")
+    out, types = fds.to_fds(df, ["pre", "s"], feature_types={"s": fds.NUMERIC},
+                            already_fds=["pre"])
+    r = out.collect()[0]
+    assert r.k == 1                      # non-feature column untouched
+    assert r.pre.indices0 == ["a"]       # FDS_TENSOR passthrough
+    assert r.s == 5.0                    # override beats inference
+    assert types["s"] == fds.NUMERIC
+
+
+def test_missing_feature_raises(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="nope"):
+        fds.to_fds(df, ["nope"])
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([({"a": 1.0},)], "tv map<string,double>")
+    out, _ = fds.to_fds(df, ["tv"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
