@@ -2011,6 +2011,75 @@ def q_fds_convert(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Full-corpus distributed Lloyd k-means, k=4, two update rounds,
+    min-id init — replayed EXACTLY by the unrolled DuckDB oracle.
+    quantize_decimals=6 puts centroids and the argmin key on a 1e-6
+    grid so the numpy-vs-SQL summation-order slack (~1e-13) cannot flip
+    an assignment; ties break on cluster index in both engines
+    (operators/clustering.py)."""
+    from feathr_spark.operators.clustering import assign_kmeans, fit_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = fit_kmeans(emb, k=4, max_iter=2, quantize_decimals=6)
+    out = assign_kmeans(emb.select("vec_id", "embedding"), cent,
+                        quantize_decimals=6)
+    return out.select("vec_id", "cluster",
+                      F.round("sq_dist", 4).alias("sq_dist"))
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64,
+                   qd: int = 6, out_round: int = 4) -> str:
+    """Unrolled Lloyd in DuckDB: min-id init, per-round argmin on the
+    round(qd) grid with cluster-index tie-break, mean update rounded to
+    qd, empty cluster keeps the previous centroid."""
+    sqd = (f"round(list_sum(list_transform(range(1, {dim + 1}), "
+           f"i -> (v.x[i] - {{p}}.cx[i]) * (v.x[i] - {{p}}.cx[i]))), {qd})")
+    sql = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        ),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                   list_transform(x, e -> round(e, {qd})) AS cx
+            FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT {k})
+        )"""
+    for it in range(1, iters + 1):
+        p = f"c{it - 1}"
+        d = sqd.format(p=p)
+        sql += f""",
+        a{it} AS (
+            SELECT vec_id, x, c FROM (
+                SELECT v.vec_id, v.x, {p}.c,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {d}, {p}.c) AS rn
+                FROM v CROSS JOIN {p}) t
+            WHERE rn = 1
+        ),
+        c{it} AS (
+            SELECT {p}.c, coalesce(m.cx, {p}.cx) AS cx
+            FROM {p} LEFT JOIN (
+                SELECT c, list(mu ORDER BY i) AS cx FROM (
+                    SELECT a{it}.c, t.i, round(avg(a{it}.x[t.i]), {qd}) AS mu
+                    FROM a{it} CROSS JOIN range(1, {dim + 1}) AS t(i)
+                    GROUP BY a{it}.c, t.i) s
+                GROUP BY c) m ON m.c = {p}.c
+        )"""
+    p = f"c{iters}"
+    d = sqd.format(p=p)
+    raw = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"i -> (v.x[i] - {p}.cx[i]) * (v.x[i] - {p}.cx[i])))")
+    sql += f"""
+        SELECT vec_id, c AS cluster, round(dd, {out_round}) AS sq_dist FROM (
+            SELECT v.vec_id, {p}.c, {raw} AS dd,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {d}, {p}.c) AS rn
+            FROM v CROSS JOIN {p}) t
+        WHERE rn = 1
+    """
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -2023,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) never driver-checked before round 3 ----------------------
         "fds_convert": q_fds_convert,
+        "kmeans_clusters": q_kmeans_clusters,
         "token_dedup_pairs": q_token_dedup_pairs,
         "token_dup_groups": q_token_dup_groups,
         "gopher_rules": q_gopher_rules,
@@ -2305,6 +2375,8 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(tvl, e -> e.v) AS tvl_vals
             FROM ents
         """,
+        "kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64, qd=6,
+                                          out_round=4),
         "swa_sum_count_avg": _SWA_BASIC_ORACLE,
         "swa_sum_count_avg_cogroup": _SWA_BASIC_ORACLE,
         "swa_min_max": f"""

@@ -603,19 +603,31 @@ def semantic_dedup_pairs(
         return (pairs.withColumn("cosine", cos.cast("double"))
                 .where(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
-    if strategy != "ivf":
+    if strategy == "kmeans":
+        # SemDeDup-proper (Abbas et al. 2023): full-corpus Lloyd
+        # clusters as the candidate buckets (deterministic min-id init,
+        # every row's assignment exact — vs "ivf"'s sample-fit coarse
+        # quantizer). Same capped within-cell enumeration below.
+        from feathr_spark.operators.clustering import assign_kmeans, fit_kmeans
+
+        cent = fit_kmeans(df, k=n_centroids, vec_col=vec_col,
+                          id_col=id_col, max_iter=kmeans_iters)
+        cells = (assign_kmeans(df.select(id_col, vec_col), cent,
+                               vec_col=vec_col, cluster_col="ivf_cell",
+                               dist_col=None))
+    elif strategy == "ivf":
+        sample_rows = df.select(vec_col).where(F.col(vec_col).isNotNull()) \
+            .limit(sample_size).collect()
+        if not sample_rows:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a long, id_b long, cosine double")
+        sample = np.stack([r[vec_col] for r in sample_rows]).astype(np.float32)
+        sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cent = _fit_centroids(sample, n_centroids, kmeans_iters, seed)
+        cells = ivf_assign(df.select(id_col, vec_col), cent, vec_col)
+    else:
         raise ValueError(f"unknown semantic-dedup strategy {strategy!r}")
     from pyspark.sql import Window
-
-    sample_rows = df.select(vec_col).where(F.col(vec_col).isNotNull()) \
-        .limit(sample_size).collect()
-    if not sample_rows:
-        return df.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double")
-    sample = np.stack([r[vec_col] for r in sample_rows]).astype(np.float32)
-    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    cent = _fit_centroids(sample, n_centroids, kmeans_iters, seed)
-    cells = ivf_assign(df.select(id_col, vec_col), cent, vec_col)
     w = Window.partitionBy("ivf_cell").orderBy(id_col)
     cells = cells.withColumn("__rn", F.row_number().over(w)) \
         .where(F.col("__rn") <= max_cell).drop("__rn")

@@ -202,7 +202,7 @@ def _planted_corpus(spark, n_clusters=5, per_cluster=40, n_dups=15, seed=7):
     return spark.createDataFrame(rows, "vec_id long, v array<double>"), len(base)
 
 
-@pytest.mark.parametrize("strategy", ["lsh", "ivf"])
+@pytest.mark.parametrize("strategy", ["lsh", "ivf", "kmeans"])
 def test_semantic_dedup_scale_strategies_full_recall(spark, strategy):
     from feathr_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
 
