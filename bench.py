@@ -62,6 +62,7 @@ HEADLINE = [
     "gopher_rules",           # Gopher filter bundle (zero-shuffle codegen)
     "gopher_repetition",      # full A1.1 repetition set (hash n-gram jobs)
     "select_by_budget",       # token-budget selection (bucket scale path)
+    "kmeans_clusters",        # full-corpus Lloyd (2 rounds + assignment)
 ]
 
 
