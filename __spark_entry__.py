@@ -2080,6 +2080,24 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64,
     return sql
 
 
+def q_curate_funnel(spark, sf_dir):
+    """End-to-end curation pipeline (feathr_spark/pipeline.py): Gopher
+    quality gate -> exact dedup -> per-source cap, composed as ONE lazy
+    plan (track_counts=False); the DuckDB oracle replays the same funnel
+    over the shared gopher-rule CTEs."""
+    from feathr_spark.pipeline import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _report = curate_corpus(
+        docs,
+        gopher=True,
+        gopher_thresholds={"min_words": 25, "min_stopword_hits": 1},
+        exact=True,
+        max_per_source=30,
+    )
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -2093,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) never driver-checked before round 3 ----------------------
         "fds_convert": q_fds_convert,
         "kmeans_clusters": q_kmeans_clusters,
+        "curate_funnel": q_curate_funnel,
         "token_dedup_pairs": q_token_dedup_pairs,
         "token_dup_groups": q_token_dup_groups,
         "gopher_rules": q_gopher_rules,
@@ -2325,6 +2344,51 @@ _LM_MODEL_CTES = r"""
         FROM toklp GROUP BY doc_id
     )
 """
+
+
+# Gopher rule measures (Rae et al. 2021 table A1) — shared between the
+# gopher_rules oracle and the curate_funnel pipeline oracle.
+_GOPHER_CTES = r"""
+            b AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS ws,
+                       regexp_split_to_array(text, '\n') AS ls
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(ws) AS nw,
+                       greatest(len(ws), 1)::DOUBLE AS nw1,
+                       coalesce(list_aggregate(
+                           list_transform(ws, w -> length(w)), 'sum'), 0)
+                           / greatest(len(ws), 1)::DOUBLE AS mwl,
+                       (length(text) - length(replace(text, '#', '')))
+                       + (length(text)
+                          - length(regexp_replace(text, '\.\.\.', 'xx', 'g')))
+                       + (length(text) - length(replace(text, '…', '')))
+                           AS n_sym,
+                       len(list_filter(ls,
+                           l -> regexp_matches(l, '^\s*[-*•]')))
+                           / greatest(len(ls), 1)::DOUBLE AS bullet_frac,
+                       len(list_filter(ls,
+                           l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                           / greatest(len(ls), 1)::DOUBLE AS ell_frac,
+                       len(list_filter(ws,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           / greatest(len(ws), 1)::DOUBLE AS alpha_frac,
+                       len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(
+                               list_transform(ws, w -> lower(w)), s)))
+                           AS stop_hits
+                FROM b
+            )
+"""
+
+_GOPHER_PASS = ("((nw >= 25 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0) "
+                "AND (n_sym / nw1 <= 0.1) AND (bullet_frac <= 0.9) "
+                "AND (ell_frac <= 0.3) AND (alpha_frac >= 0.8) "
+                "AND (stop_hits >= 1))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3376,41 +3440,8 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard == word-trigram Jaccard — same oracle, every pair and
         # value must match exactly
         "token_dedup_pairs": _JACCARD_PAIRS_ORACLE,
-        "gopher_rules": r"""
-            WITH b AS (
-                SELECT doc_id, text,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   w -> w <> '') AS ws,
-                       regexp_split_to_array(text, '\n') AS ls
-                FROM documents
-            ), m AS (
-                SELECT doc_id,
-                       len(ws) AS nw,
-                       greatest(len(ws), 1)::DOUBLE AS nw1,
-                       coalesce(list_aggregate(
-                           list_transform(ws, w -> length(w)), 'sum'), 0)
-                           / greatest(len(ws), 1)::DOUBLE AS mwl,
-                       (length(text) - length(replace(text, '#', '')))
-                       + (length(text)
-                          - length(regexp_replace(text, '\.\.\.', 'xx', 'g')))
-                       + (length(text) - length(replace(text, '…', '')))
-                           AS n_sym,
-                       len(list_filter(ls,
-                           l -> regexp_matches(l, '^\s*[-*•]')))
-                           / greatest(len(ls), 1)::DOUBLE AS bullet_frac,
-                       len(list_filter(ls,
-                           l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
-                           / greatest(len(ls), 1)::DOUBLE AS ell_frac,
-                       len(list_filter(ws,
-                           w -> regexp_matches(w, '[A-Za-z]')))
-                           / greatest(len(ws), 1)::DOUBLE AS alpha_frac,
-                       len(list_filter(
-                           ['the','be','to','of','and','that','have','with'],
-                           s -> list_contains(
-                               list_transform(ws, w -> lower(w)), s)))
-                           AS stop_hits
-                FROM b
-            )
+        "gopher_rules": f"""
+            WITH {_GOPHER_CTES}
             SELECT doc_id,
                    (nw >= 25 AND nw <= 100000)::INT AS r_word_count,
                    (mwl >= 3.0 AND mwl <= 10.0)::INT AS r_mean_word_len,
@@ -3419,11 +3450,34 @@ def oracle_sql() -> dict[str, str]:
                    (ell_frac <= 0.3)::INT AS r_ellipsis_lines,
                    (alpha_frac >= 0.8)::INT AS r_alpha_words,
                    (stop_hits >= 1)::INT AS r_stopwords,
-                   ((nw >= 25 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
-                    AND (n_sym / nw1 <= 0.1) AND (bullet_frac <= 0.9)
-                    AND (ell_frac <= 0.3) AND (alpha_frac >= 0.8)
-                    AND (stop_hits >= 1))::INT AS gopher_pass
+                   {_GOPHER_PASS}::INT AS gopher_pass
             FROM m
+        """,
+        # end-to-end curation funnel: gopher gate -> exact dedup (keep
+        # min id per normalized text) -> per-source cap (id-ascending)
+        "curate_funnel": f"""
+            WITH {_GOPHER_CTES},
+            pass AS (
+                SELECT d.doc_id, d.source, d.text
+                FROM documents d JOIN m ON m.doc_id = d.doc_id
+                WHERE {_GOPHER_PASS}
+            ), norm AS (
+                SELECT doc_id, source,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+                FROM pass
+            ), keep AS (
+                SELECT doc_id, source FROM (
+                    SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY nt
+                                              ORDER BY doc_id) AS rn
+                    FROM norm) t WHERE rn = 1
+            )
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM keep) t WHERE rn <= 30
         """,
         "c4_rules": r"""
             WITH staged AS (

@@ -18,6 +18,10 @@ Modes
                  encode it into the pre-tokenized corpus shape
                  (doc_id, tokens array<int>, n_tok, source) — the input
                  the join/materialize modes consume.
+``curate``       end-to-end corpus curation funnel (language -> Gopher
+                 -> exact/near-dup dedup -> decontaminate -> per-source
+                 cap) over a raw documents table; emits the funnel
+                 report (feathr_spark/pipeline.py).
 
 With ``--synthesize SF`` the deterministic corpus generator replaces the
 input paths (same generator at any scale — the 10^12-row cluster run
@@ -129,10 +133,56 @@ def cmd_tokenize(spark, args) -> dict:
             "docs_per_sec": round(n / wall, 1), "output": args.output}
 
 
+def cmd_curate(spark, args) -> dict:
+    from feathr_spark.pipeline import curate_corpus
+
+    docs = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    t0 = time.monotonic()
+    out, report = curate_corpus(
+        docs,
+        languages=args.languages.split(",") if args.languages else (),
+        gopher=args.gopher,
+        gopher_thresholds={"min_words": args.min_words,
+                           "min_stopword_hits": args.min_stopword_hits},
+        exact=not args.no_exact_dedup,
+        near_dup=args.near_dup,
+        near_dup_kwargs={"threshold": args.near_dup_threshold},
+        benchmark=bench,
+        max_per_source=args.max_per_source,
+        track_counts=args.funnel_counts,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    wall = time.monotonic() - t0
+    return {"mode": "curate", "rows": n, "wall_s": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1), "funnel": report,
+            "output": args.output}
+
+
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="mode", required=True)
     common = dict(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    pc = sub.add_parser("curate", **common)
+    pc.add_argument("--docs", required=True,
+                    help="raw documents table path (doc_id, text, source)")
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--benchmark", default=None,
+                    help="eval-set table to decontaminate against (text)")
+    pc.add_argument("--languages", default="",
+                    help="comma-separated language allowlist (e.g. en,de)")
+    pc.add_argument("--gopher", action="store_true", default=True)
+    pc.add_argument("--min-words", type=int, default=50)
+    pc.add_argument("--min-stopword-hits", type=int, default=2)
+    pc.add_argument("--no-exact-dedup", action="store_true")
+    pc.add_argument("--near-dup", action="store_true",
+                    help="MinHash-LSH near-dup dedup (adds the LSH jobs)")
+    pc.add_argument("--near-dup-threshold", type=float, default=0.8)
+    pc.add_argument("--max-per-source", type=int, default=None)
+    pc.add_argument("--funnel-counts", action="store_true",
+                    help="count rows at every stage (one extra action each)")
+    pc.add_argument("--cpus", type=int, default=None)
     pt = sub.add_parser("tokenize", **common)
     pt.add_argument("--docs", required=True,
                     help="raw documents table path (doc_id, text, source)")
@@ -177,7 +227,7 @@ def main(argv=None) -> dict:
         spark = get_spark(cpus=cpus, app_name="corpus_features")
 
     report = {"join": cmd_join, "materialize": cmd_materialize,
-              "tokenize": cmd_tokenize}[args.mode](spark, args)
+              "tokenize": cmd_tokenize, "curate": cmd_curate}[args.mode](spark, args)
     print(json.dumps(report))
     return report
 

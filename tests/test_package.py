@@ -98,3 +98,27 @@ def test_job_tokenize_mode(tmp_path, sf_dir):
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["rows"] == 500 and rep["vocab_size"] > 0
     assert os.path.exists(out / "tokens") and os.path.exists(out / "vocab")
+
+
+def test_job_curate_mode(tmp_path, sf_dir):
+    """jobs CLI curate mode: raw documents -> curated corpus + funnel."""
+    import json
+    import subprocess
+
+    out = tmp_path / "curated"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_features.py"),
+         "curate", "--docs", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--min-words", "25",
+         "--min-stopword-hits", "1",
+         "--max-per-source", "30", "--funnel-counts", "--cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["mode"] == "curate" and rep["rows"] > 0
+    stages = [s["stage"] for s in rep["funnel"]]
+    assert stages == ["input", "gopher", "exact_dedup", "source_cap"]
+    counts = [s["rows"] for s in rep["funnel"]]
+    assert counts[0] == 500 and counts[-1] == rep["rows"]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))

@@ -1,0 +1,95 @@
+"""curate_corpus end-to-end pipeline (feathr_spark/pipeline.py)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathr_spark.pipeline import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_funnel_counts_monotonic(spark, docs):
+    out, report = curate_corpus(
+        docs,
+        gopher=True,
+        gopher_thresholds={"min_words": 25, "min_stopword_hits": 1},
+        exact=True,
+        near_dup=True,
+        near_dup_kwargs={"threshold": 0.8},
+        max_per_source=30,
+        track_counts=True,
+    )
+    stages = [r["stage"] for r in report]
+    assert stages == ["input", "gopher", "exact_dedup", "near_dup",
+                      "source_cap"]
+    counts = [r["rows"] for r in report]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] == out.count()
+    assert set(out.columns) == set(docs.columns)  # schema preserved
+    # cap respected
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 30 for r in per_src)
+
+
+def test_lazy_mode_single_plan_no_actions(spark, docs):
+    out, report = curate_corpus(
+        docs, gopher=True, exact=False,
+        gopher_thresholds={"min_words": 25, "min_stopword_hits": 1})
+    assert all(r["rows"] is None for r in report)
+    # row-local-only config: the whole funnel is one scan stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_exact_stage_matches_operator(spark, docs):
+    from feathr_spark.operators.dedup import exact_dedup
+
+    out, _ = curate_corpus(docs, exact=True)
+    want = exact_dedup(docs)
+    assert (sorted(r.doc_id for r in out.select("doc_id").collect())
+            == sorted(r.doc_id for r in want.select("doc_id").collect()))
+
+
+def test_near_dup_and_decontaminate_stages(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "a"),
+        (1, "the quick brown fox jumps over the lazy dog today!", "a"),  # near-dup of 0
+        (2, "completely different words about training data pipelines", "b"),
+        (3, "benchmark question text that must be decontaminated away now", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [("benchmark question text that must be decontaminated away now",)],
+        "text string")
+    out, report = curate_corpus(
+        docs, exact=False,
+        near_dup=True, near_dup_kwargs={"threshold": 0.6},
+        benchmark=bench, contamination_n=5,
+        track_counts=True,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 1 not in kept          # near-dup of doc 0 dropped (min-id rep kept)
+    assert 0 in kept and 2 in kept
+    assert 3 not in kept          # contaminated by the benchmark 5-gram
+    assert [r["stage"] for r in report] == ["input", "near_dup",
+                                            "decontaminate"]
+
+
+def test_c4_and_language_stages(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog today and we "
+            "keep going with more sentences here.\nshort line\n"
+            "Another proper sentence with enough words to stay in.", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, _ = curate_corpus(docs, exact=False, c4=True,
+                           c4_thresholds={"min_sentences": 1},
+                           languages=["en"])
+    got = out.collect()
+    assert len(got) == 1
+    assert "short line" not in got[0].text  # C4 line filter rewrote text
+    assert "lazy dog" in got[0].text
