@@ -2098,6 +2098,31 @@ def q_curate_funnel(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """GPT-3-style quality filter (Brown et al. 2020 App. A): logistic
+    regression over bag-of-token term frequencies, trained end-to-end
+    IN the engine (vocab -> encode -> featurize -> 2 GD rounds ->
+    score) and replayed EXACTLY by the unrolled DuckDB oracle.
+    quantize_decimals=6 puts the weight vector on a 1e-6 grid after
+    every round so numpy-vs-SQL summation-order slack (~1e-14) cannot
+    drift the trajectory; margins accumulate in ascending feature-index
+    order in both engines (operators/classify.py)."""
+    from feathr_spark.operators.classify import (
+        featurize_tokens, score_logreg, train_logreg)
+    from feathr_spark.operators.text import build_vocabulary, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("double"))
+    vocab = build_vocabulary(labeled, max_size=12, min_count=2)
+    enc = encode_tokens(labeled, vocab, keep_cols=("y",))
+    feat = featurize_tokens(enc, 13, label_col="y")
+    w = train_logreg(feat, 13, rounds=2, lr=1.0, quantize_decimals=6)
+    scored = score_logreg(feat, w)
+    return scored.select(
+        "doc_id", F.round("margin", 4).alias("margin"),
+        (F.col("margin") > 0).cast("int").alias("pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -2218,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -4047,5 +4073,73 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END
                          / (n_tokens::DOUBLE / sum(n_tokens) OVER ()), 6) AS weight
             FROM t
+        """,
+        # Two unrolled full-batch GD rounds of logistic regression over
+        # bag-of-token term frequencies (lr=1.0, weights rounded to the
+        # 1e-6 grid after each round — mirrors train_logreg's
+        # quantize_decimals=6). Round 1 starts from w=0 => p=0.5 for
+        # every doc. Margins accumulate in ascending tid order (matches
+        # the ascending-index np.bincount in score_logreg).
+        "quality_classifier": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+            cnt AS (SELECT token, count(*) AS n FROM tok
+                    GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+                FROM cnt ORDER BY n DESC, token LIMIT 12
+            ),
+            enc AS (SELECT t.doc_id, coalesce(v.tid, 0) AS tid
+                    FROM tok t LEFT JOIN vocab v USING (token)),
+            nt AS (SELECT doc_id, count(*) AS n_tok FROM enc GROUP BY doc_id),
+            x AS (SELECT e.doc_id, e.tid,
+                         count(*)::DOUBLE / any_value(nt.n_tok) AS val
+                  FROM enc e JOIN nt USING (doc_id)
+                  GROUP BY e.doc_id, e.tid),
+            y AS (SELECT doc_id,
+                         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                  FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            g1 AS (SELECT x.tid AS j, sum(x.val * (y.y - 0.5)) AS g
+                   FROM x JOIN y USING (doc_id) GROUP BY x.tid),
+            w1 AS (SELECT j, round(g / n.n, 6) AS wj FROM g1, n),
+            b1 AS (SELECT round(sum(y - 0.5) / any_value(n.n), 6) AS b
+                   FROM y, n),
+            m1 AS (SELECT x.doc_id,
+                          any_value(b1.b) + list_sum(
+                              list(x.val * coalesce(w1.wj, 0)
+                                   ORDER BY x.tid)) AS z
+                   FROM x LEFT JOIN w1 ON x.tid = w1.j, b1
+                   GROUP BY x.doc_id),
+            p AS (SELECT y.doc_id, y.y,
+                         1.0 / (1.0 + exp(-coalesce(m1.z, b1.b))) AS p
+                  FROM y LEFT JOIN m1 USING (doc_id), b1),
+            g2 AS (SELECT x.tid AS j, sum(x.val * (p.y - p.p)) AS g
+                   FROM x JOIN p USING (doc_id) GROUP BY x.tid),
+            w2 AS (SELECT coalesce(w1.j, g2.j) AS j,
+                          round(coalesce(w1.wj, 0)
+                                + coalesce(g2.g, 0) / n.n, 6) AS wj
+                   FROM w1 FULL JOIN g2 ON w1.j = g2.j, n),
+            b2 AS (SELECT round(any_value(b1.b)
+                               + sum(p.y - p.p) / any_value(n.n), 6) AS b
+                   FROM p, b1, n),
+            m2 AS (SELECT x.doc_id,
+                          any_value(b2.b) + list_sum(
+                              list(x.val * coalesce(w2.wj, 0)
+                                   ORDER BY x.tid)) AS z
+                   FROM x LEFT JOIN w2 ON x.tid = w2.j, b2
+                   GROUP BY x.doc_id)
+            SELECT y.doc_id,
+                   round(coalesce(m2.z, b2.b), 4) AS margin,
+                   CASE WHEN coalesce(m2.z, b2.b) > 0
+                        THEN 1 ELSE 0 END AS pred
+            FROM y LEFT JOIN m2 USING (doc_id), b2
         """,
     }
