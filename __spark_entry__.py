@@ -2123,6 +2123,22 @@ def q_quality_classifier(spark, sf_dir):
         (F.col("margin") > 0).cast("int").alias("pred"))
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """One-pass distributed moments (mean + covariance) over the
+    embedding table — the PCA/whitening statistic (operators/pca.py).
+    Partial cells (1 + d + d(d+1)/2 skinny rows per batch) reduce via
+    one bounded groupBy(cell).sum; DuckDB replays every upper-triangle
+    cell from the same (Σxxᵀ − ΣxΣxᵀ/n)/(n−1) formula."""
+    from feathr_spark.operators.pca import embedding_moments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n, mean, cov = embedding_moments(emb)
+    d = len(mean)
+    rows = [(i + 1, j + 1, round(float(cov[i, j]), 6))
+            for i in range(d) for j in range(i, d)]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -2244,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
         "quality_classifier": q_quality_classifier,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -4141,5 +4158,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(m2.z, b2.b) > 0
                         THEN 1 ELSE 0 END AS pred
             FROM y LEFT JOIN m2 USING (doc_id), b2
+        """,
+        "embedding_covariance": r"""
+            WITH t AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+                       CAST(embedding AS DOUBLE[]) AS x
+                FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            e AS (SELECT rid, unnest(x) AS val,
+                         generate_subscripts(x, 1) AS i FROM t)
+            SELECT a.i AS i, b.i AS j,
+                   round((sum(a.val * b.val)
+                          - sum(a.val) * sum(b.val) / count(*))
+                         / (count(*) - 1), 6) AS cov
+            FROM e a JOIN e b USING (rid)
+            WHERE a.i <= b.i
+            GROUP BY a.i, b.i
         """,
     }
