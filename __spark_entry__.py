@@ -2139,6 +2139,19 @@ def q_embedding_covariance(spark, sf_dir):
     return spark.createDataFrame(rows, "i int, j int, cov double")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (sklearn smooth-idf form):
+    vocabulary-bounded doc-frequency table broadcast as a dict, per-doc
+    counting + scoring + top-k cut all inside ONE zero-shuffle Arrow
+    pass (operators/text.py::tfidf_top_terms)."""
+    from feathr_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.select("doc_id", "term",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -2261,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_classifier": q_quality_classifier,
         "embedding_covariance": q_embedding_covariance,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -4174,5 +4188,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b USING (rid)
             WHERE a.i <= b.i
             GROUP BY a.i, b.i
+        """,
+        "tfidf_terms": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfr
+                      FROM tok GROUP BY term),
+            cnt AS (SELECT doc_id, term, count(*)::DOUBLE AS c
+                    FROM tok GROUP BY doc_id, term),
+            sc AS (SELECT c.doc_id, c.term,
+                          c.c * (ln((n.n + 1) / (d.dfr + 1)) + 1) AS score
+                   FROM cnt c JOIN dfreq d USING (term), n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS rank
+                  FROM sc)
+            SELECT doc_id, term, round(score, 6) AS score, rank
+            FROM r WHERE rank <= 5
         """,
     }

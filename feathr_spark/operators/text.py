@@ -15,7 +15,7 @@ hash + rolling shingle hashes).
 from __future__ import annotations
 
 import re
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -530,3 +530,97 @@ def with_c4_rules(df: DataFrame, text_col: str = "text",
                                clean=F.col("__c4_clean"), **kw).items():
         out = out.withColumn(name, colx)
     return out.drop("__c4_clean")
+
+
+def doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+    max_terms: int = 1 << 20,
+) -> DataFrame:
+    """Per-term document frequency ``(term, df)`` over normalized
+    words. One vocabulary-bounded shuffle (distinct words per doc are
+    exploded, then a map-side-combined count); ``max_terms`` caps the
+    table via a distributed top-K by (df DESC, term ASC) — never a
+    global sort of the distinct-term set."""
+    counts = (
+        df.select(F.explode(F.array_distinct(
+            _words(normalize_text(F.col(text_col))))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return counts.orderBy(F.desc("df"), F.asc("term")).limit(max_terms)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    max_terms: int = 1 << 20,
+    idf_df: Optional[DataFrame] = None,
+    idf_n_docs: Optional[int] = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document, exploded as
+    ``(id, term, score, rank)``. ``score = count(term in doc) *
+    (ln((N+1)/(df+1)) + 1)`` (the sklearn smooth-idf form); rank is
+    dense by (score DESC, term ASC).
+
+    Scale shape: the idf table is vocabulary-bounded (ONE shuffle,
+    :func:`doc_frequency`) and broadcast as a dict; per-doc term
+    counts, scoring, and the top-k cut all happen INSIDE one vectorized
+    Arrow pass over the corpus — zero corpus-side shuffle (a
+    groupBy(doc, term) + Window alternative shuffles every token
+    twice). Pass a precomputed ``idf_df`` ``(term, df)`` to reuse
+    corpus statistics across datasets (train idf once, score many)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n_docs = df.count()
+    freq = idf_df if idf_df is not None else doc_frequency(
+        df, text_col, min_df=min_df, max_terms=max_terms)
+    idf = {r["term"]: math.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0
+           for r in freq.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(idf)
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _words(normalize_text(F.col(text_col))).alias("__words"))
+    id_type = base.schema["__id"].dataType.simpleString()
+    out_schema = (f"`{id_col}` {id_type}, term string, "
+                  "score double, rank int")
+
+    def _topk(batches):
+        v = bc.value
+        for pdf in batches:
+            words = pdf["__words"]
+            lens = words.map(len).to_numpy(dtype="int64")
+            if lens.sum() == 0:
+                continue
+            flat = pd.DataFrame({
+                "r": np.repeat(np.arange(len(pdf), dtype="int64"), lens),
+                "term": np.concatenate(words.to_numpy()),
+            })
+            cnt = (flat.groupby(["r", "term"], sort=False)
+                   .size().reset_index(name="c"))
+            cnt["idf"] = cnt["term"].map(v)
+            cnt = cnt.dropna(subset=["idf"])
+            if len(cnt) == 0:
+                continue
+            cnt["score"] = cnt["c"] * cnt["idf"]
+            cnt = cnt.sort_values(
+                ["r", "score", "term"], ascending=[True, False, True],
+                kind="mergesort")
+            cnt["rank"] = cnt.groupby("r").cumcount() + 1
+            top = cnt[cnt["rank"] <= k]
+            yield pd.DataFrame({
+                id_col: pdf["__id"].to_numpy()[top["r"].to_numpy()],
+                "term": top["term"].to_numpy(),
+                "score": top["score"].to_numpy(),
+                "rank": top["rank"].to_numpy().astype("int32"),
+            })
+
+    return base.mapInPandas(_topk, schema=out_schema)
