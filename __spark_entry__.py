@@ -2152,6 +2152,26 @@ def q_tfidf_terms(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+def q_pq_topk_det(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011 / FAISS
+    IVF-PQ), deterministic form: min-id codebook seeds (lloyd_rounds=0),
+    encode + lookup-table distances on the 1e-6 grid so DuckDB replays
+    codes and rankings exactly (operators/pq.py). m=8 subspaces of 8
+    dims, ksub=16 codes, 3 query vectors, k=10."""
+    from feathr_spark.operators.pq import encode_pq, pq_topk, train_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq(emb, m=8, ksub=16, lloyd_rounds=0)
+    codes = encode_pq(emb.select("vec_id", "embedding"), cb,
+                      quantize_decimals=6)
+    qrows = (emb.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(3).collect())
+    out = pq_topk(codes, cb, [r["embedding"] for r in qrows], k=10,
+                  quantize_decimals=6)
+    return out.select("query_id", "vec_id",
+                      F.round("dist", 4).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Policy: (1) queries that have never had
@@ -2275,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "embedding_covariance": q_embedding_covariance,
         "tfidf_terms": q_tfidf_terms,
+        "pq_topk_det": q_pq_topk_det,
     }
 
 
@@ -4213,5 +4234,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT doc_id, term, round(score, 6) AS score, rank
             FROM r WHERE rank <= 5
+        """,
+        "pq_topk_det": r"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            ss AS (SELECT unnest(range(1, 9)) AS s),
+            cb AS (SELECT ss.s, t.rn - 1 AS c,
+                          list_transform(range(1, 9),
+                              i -> t.x[(ss.s - 1) * 8 + i]) AS cx
+                   FROM (SELECT x, row_number() OVER (ORDER BY vec_id) AS rn
+                         FROM (SELECT vec_id, x FROM v
+                               ORDER BY vec_id LIMIT 16)) t, ss),
+            sv AS (SELECT v.vec_id, ss.s,
+                          list_transform(range(1, 9),
+                              i -> v.x[(ss.s - 1) * 8 + i]) AS sx
+                   FROM v, ss),
+            cd AS (SELECT sv.vec_id, sv.s, cb.c,
+                          round(list_sum(list_transform(range(1, 9),
+                              i -> (sv.sx[i] - cb.cx[i])
+                                   * (sv.sx[i] - cb.cx[i]))), 6) AS d2
+                   FROM sv JOIN cb USING (s)),
+            codes AS (SELECT vec_id, s, c FROM
+                      (SELECT *, row_number() OVER (
+                           PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                       FROM cd) WHERE rn = 1),
+            q AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                              AS INT) AS query_id, x
+                  FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 3)),
+            qlut AS (SELECT q.query_id, cb.s, cb.c,
+                            list_sum(list_transform(range(1, 9),
+                                i -> (q.x[(cb.s - 1) * 8 + i] - cb.cx[i])
+                                     * (q.x[(cb.s - 1) * 8 + i] - cb.cx[i])))
+                                AS d
+                     FROM q, cb),
+            adc AS (SELECT ql.query_id, co.vec_id,
+                           round(sum(ql.d), 6) AS dist
+                    FROM codes co JOIN qlut ql
+                         ON co.s = ql.s AND co.c = ql.c
+                    GROUP BY ql.query_id, co.vec_id),
+            top AS (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY dist, vec_id) AS rn FROM adc)
+            SELECT query_id, vec_id, round(dist, 4) AS dist
+            FROM top WHERE rn <= 10
         """,
     }
