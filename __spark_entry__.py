@@ -2195,13 +2195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_by_budget": q_select_by_budget,
         "token_contamination": q_token_contamination,
         "lm_perplexity": q_lm_perplexity,
-        "lm_ppl_buckets": q_lm_ppl_buckets,
         "tokenize_docs": q_tokenize_docs,
         "token_stats": q_token_stats,
         "token_histogram": q_token_histogram,
         "detokenize": q_detokenize,
         "feature_drift": q_feature_drift,
-        "category_drift": q_category_drift,
         "temperature_mixture": q_temperature_mixture,
         "importance_scores": q_importance_scores,
         "bpe_train": q_bpe_train,
@@ -2224,8 +2222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ann_lsh_det": q_ann_lsh_det,
         "ann_ivf_det": q_ann_ivf_det,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "quality_classifier": q_quality_classifier,
+        "embedding_covariance": q_embedding_covariance,
+        "tfidf_terms": q_tfidf_terms,
+        "pq_topk_det": q_pq_topk_det,
         "quantize_embeddings": q_quantize_embeddings,
         "repetition_features": q_repetition_features,
         "contamination_check": q_contamination,
@@ -2292,10 +2292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
-        "quality_classifier": q_quality_classifier,
-        "embedding_covariance": q_embedding_covariance,
-        "tfidf_terms": q_tfidf_terms,
-        "pq_topk_det": q_pq_topk_det,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
+        "category_drift": q_category_drift,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
