@@ -2179,8 +2179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # go first; (2) queries whose last green driver row is >1 round old
     # next; (3) flagship operators re-confirmed each round fill the rest
     # of the 50-slot window; (4) queries past the cap are all green in
-    # CORRECTNESS_r02.json and covered by the identical DuckDB oracles in
-    # tests/test_driver_contract.py every round.
+    # CORRECTNESS_r01/_r02.json and covered by the identical DuckDB
+    # oracles in tests/test_driver_contract.py every round. Round-3
+    # window triage (110 entries > 50 slots): rows-only `ann_lsh`/
+    # `ann_ivf` yield their slots to the `ann_recall_bounds` oracle row
+    # + integer-exact det twins that verify them; `lm_ppl_buckets`/
+    # `category_drift` yield to in-window siblings `lm_perplexity`/
+    # `feature_drift` that share the operator and oracle machinery.
     return {
         # -- (1) never driver-checked before round 3 ----------------------
         "fds_convert": q_fds_convert,
