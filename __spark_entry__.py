@@ -661,6 +661,28 @@ def q_asof_tolerance(spark, sf_dir):
     return out.select("event_id", F.round("last_val", 4).alias("last_val"))
 
 
+def q_asof_fused(spark, sf_dir):
+    """Fused as-of: match ts computed INSIDE the SWA cogroup kernel as a
+    LATEST feature, payload fetched by asof_fetch's pruned hash join —
+    semantically asof_join(tolerance=w) with the match phase amortized
+    into an existing sliding-window pass (zero extra shuffle for the
+    match; the payload never enters a sort)."""
+    from feathr_spark import SWAFeature, WindowSpec, asof_fetch, join_window_agg_features
+    from feathr_spark.functions.timestamps import to_epoch_micros
+
+    ev, obs = _events_obs(spark, sf_dir)
+    purch = ev.where("event_type = 'purchase'") \
+        .withColumn("ts_d", to_epoch_micros("ts", "timestamp"))
+    vec = join_window_agg_features(
+        obs, purch, ["user_id"], ["user_id"], "ts", "ts",
+        [SWAFeature("m_ts", "LATEST", "ts_d", WindowSpec(3600))],
+        obs_ts_format="timestamp", fact_ts_format="timestamp",
+        strategy="cogroup")
+    out = asof_fetch(vec, purch, ["user_id"], ["user_id"], "m_ts", "ts_d",
+                     ["value as last_val"])
+    return out.select("event_id", F.round("last_val", 4).alias("last_val"))
+
+
 def q_asof_cogroup(spark, sf_dir):
     from feathr_spark import asof_join
 
@@ -2301,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift": q_category_drift,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "asof_fused": q_asof_fused,
     }
 
 
@@ -2913,6 +2936,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events o ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'purchase'
             ) f ON o.user_id = f.user_id AND f.ts <= o.ts
+        """,
+        "asof_fused": """
+            SELECT o.event_id, round(arg_max(f.value, f.ts), 4) AS last_val
+            FROM events o LEFT JOIN events f
+              ON f.user_id = o.user_id AND f.event_type = 'purchase'
+             AND epoch_us(f.ts) <= epoch_us(o.ts)
+             AND epoch_us(f.ts) >  epoch_us(o.ts) - 3600000000
+            GROUP BY o.event_id
         """,
         "full_plan": """
             WITH prof AS (

@@ -75,7 +75,7 @@ def _force(df) -> int:
 def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
     """North-rule flagship: feature vectors per (doc_id, ts) over the
     tokenized corpus — SWA battery + as-of token lookup in one job."""
-    from feathr_spark import (SWAFeature, WindowSpec, asof_join,
+    from feathr_spark import (SWAFeature, WindowSpec, asof_fetch,
                               join_window_agg_features, release_caches)
     from feathr_spark.datagen import corpus
 
@@ -96,6 +96,11 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
         SWAFeature("src_cnt_7d", "COUNT_DISTINCT", "source", WindowSpec(7 * 86400)),
         SWAFeature("web_cnt_1d", "COUNT", "n_tok", WindowSpec(86400),
                    filter="source = 'web'"),
+        # the as-of match timestamp, computed in the SAME kernel pass as
+        # the aggregates above (one more column in the merge, zero extra
+        # shuffle); asof_fetch below then hash-joins the token payload.
+        # 7d-bounded = asof_join(tolerance=7d) semantics.
+        SWAFeature("last_ts", "LATEST", "event_ts", WindowSpec(7 * 86400)),
     ]
     def pipeline():
         # cogroup kernel + explicit hot-key salting: the zipf-hottest doc_id
@@ -107,18 +112,26 @@ def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
             hot_key_threshold=max(2000, n_obs // 50), salt_buckets=16,
             prefilter_time_range=False,
         )
-        # prune asof: slim (key, ts) match, then hash-join fetch of only
-        # the matched payload rows — the token arrays never enter a sort
-        # and, with the entity-partitioned fact cache, never cross an
-        # exchange (union strategy shuffled+sorted the full payload)
-        out = asof_join(
-            vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+        # fused as-of fetch: the match timestamp was computed inside the
+        # SWA cogroup pass (LATEST feature), so only the payload fetch
+        # remains — distinct (key, ts) pairs, left-semi prune, hash join
+        # back. The token arrays never enter a sort and, with the
+        # entity-partitioned fact cache, never cross an exchange. This
+        # replaces a standalone asof_join whose slim union-window match
+        # phase re-shuffled + re-sorted all (key, ts) rows the SWA pass
+        # had already cogrouped (measured ~2x flagship wall).
+        # vec feeds two fetch subtrees (pairs + join-back): build the
+        # cache eagerly or the racing leaf stages re-run the SWA kernel
+        vec = vec.persist()
+        vec.count()
+        out = asof_fetch(
+            vec, fact, ["doc_id"], ["doc_id"], "last_ts", "event_ts",
             ["tokens as last_tokens", "n_tok as last_n_tok"],
-            obs_ts_format="epoch", fact_ts_format="epoch", strategy="prune",
         )
         _force(out)
-        # free the prune strategy's internal slim-match cache between
-        # runs (a real pipeline releases after each stage materializes)
+        # free operator-internal + vec caches between runs (a real
+        # pipeline releases after each stage materializes)
+        vec.unpersist()
         release_caches()
 
     # one untimed warmup run: ~35s of one-time cost (Python worker spawn +

@@ -24,7 +24,7 @@ from feathr_spark.client import (  # noqa: F401
     FeatureQuery,
     MaterializationSettings,
 )
-from feathr_spark.operators.asof import asof_join  # noqa: F401
+from feathr_spark.operators.asof import asof_fetch, asof_join  # noqa: F401
 from feathr_spark.operators.swa import join_window_agg_features  # noqa: F401
 from feathr_spark.session import get_spark, release_caches  # noqa: F401
 from feathr_spark.functions.fds import to_fds  # noqa: F401

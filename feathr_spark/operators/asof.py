@@ -282,8 +282,10 @@ def _asof_prune(obs, fact_proj, n_keys, vcols, delay_us, tol_us):
     else:
         right = fact_m.dropDuplicates(kcols + ["__ts"]).select(
             *kcols, F.col("__ts").alias("__match_ts"))
-    return slim.hint("SHUFFLE_HASH").join(
-        right, on=kcols + ["__match_ts"], how="left")
+    # hint on RIGHT: the hash build side must be the (deduped, ≤ obs-scale)
+    # matched-payload table, not the obs-scale slim result
+    return slim.join(right.hint("SHUFFLE_HASH"),
+                     on=kcols + ["__match_ts"], how="left")
 
 
 def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
@@ -362,3 +364,84 @@ def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
     obs_b = obs.withColumn("__b", bucket).repartition(b, "__b")
     fact_b = fact_proj.withColumn("__b", bucket).repartition(b, "__b")
     return obs_b.groupBy("__b").cogroup(fact_b.groupBy("__b")).applyInPandas(kernel, out_schema)
+
+
+def asof_fetch(
+    obs: DataFrame,
+    fact: DataFrame,
+    obs_keys: Sequence[str],
+    fact_keys: Sequence[str],
+    match_ts_col: str,
+    fact_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Payload fetch for a PRECOMPUTED as-of match timestamp.
+
+    The expensive half of an as-of join is resolving each observation's
+    matched fact timestamp; the fetch of the matched row's payload is a
+    plain hash join. When a pipeline already runs a sliding-window
+    cogroup pass over the same (keys, ts) — the flagship SWA battery —
+    the match timestamp comes for free as one more ``LATEST`` feature
+    over the fact ts column (same Arrow kernel pass, zero extra
+    shuffle), and this function performs only the remaining fetch:
+
+    1. distinct ``(key, match_ts)`` pairs from the observations,
+    2. left-semi prune of the fact payload by those pairs,
+    3. deterministic exact-ts tie collapse (``max_by`` payload hash —
+       the same rule as ``asof_join(strategy='prune')``),
+    4. hash join back (``SHUFFLE_HASH`` — the payload never enters a
+       sort and crosses at most ONE exchange; zero with an
+       entity-partitioned or bucketed fact, sources/bucketed.py).
+
+    ``match_ts_col`` must hold raw ``fact_ts`` values (what a
+    ``LATEST`` feature over ``fact_ts`` emits), null for unmatched
+    rows; unmatched observations keep null payloads (left join).
+    ``obs`` feeds TWO subtrees here (the pairs build and the final
+    join-back): when it is a computed pipeline rather than a stored
+    table, persist + materialize it first or the upstream DAG runs
+    twice (AQE submits both leaf stages concurrently).
+    Bounded-window LATEST gives bounded-tolerance as-of semantics:
+    ``SWAFeature(m, "LATEST", ts_col, WindowSpec(w))`` + fetch ==
+    ``asof_join(..., tolerance=w)`` up to the window's left-boundary
+    rule ((t-w, t] exclusive-left vs tolerance's inclusive-left).
+
+    Reference parity: same output contract as asof_join
+    (feathr-impl swj/SlidingWindowJoin.scala joins features back to the
+    observation by key — this is that join-back, with the match
+    computed in the shared kernel pass).
+    """
+    out_names, vexprs = [], []
+    for i, vc in enumerate(value_cols):
+        low = vc.lower()
+        if " as " in low:
+            expr_part = vc[: low.rindex(" as ")]
+            name = vc[low.rindex(" as ") + 4:].strip()
+        else:
+            expr_part, name = vc, vc
+        out_names.append(name)
+        vexprs.append(F.expr(expr_part).alias(f"__v{i}"))
+    vcols = [f"__v{i}" for i in range(len(value_cols))]
+    fk = [f"__fk{i}" for i in range(len(fact_keys))]
+
+    fact_proj = fact.select(
+        *[F.col(k).alias(a) for k, a in zip(fact_keys, fk)],
+        F.col(fact_ts).alias("__fts"), *vexprs)
+    pairs = (obs.where(F.col(match_ts_col).isNotNull())
+             .select(*[F.col(o).alias(a) for o, a in zip(obs_keys, fk)],
+                     F.col(match_ts_col).alias("__fts"))
+             .dropDuplicates())
+    fact_m = fact_proj.join(pairs.hint("SHUFFLE_HASH"),
+                            on=fk + ["__fts"], how="left_semi")
+    fact_u = (fact_m.groupBy(*fk, "__fts")
+              .agg(F.max_by(F.struct(*[F.col(v) for v in vcols]),
+                            _tiebreak(vcols)).alias("__payload")))
+    right = fact_u.select(
+        *fk, F.col("__fts"),
+        *[F.col(f"__payload.{v}").alias(n) for v, n in zip(vcols, out_names)])
+    cond = F.col(match_ts_col) == right["__fts"]
+    for o, a in zip(obs_keys, fk):
+        cond = cond & (obs[o] == right[a])
+    # hint on RIGHT: build the hash table on the deduped matched-payload
+    # side, never on the (arbitrarily wide, obs-scale) observation side
+    return (obs.join(right.hint("SHUFFLE_HASH"), on=cond, how="left")
+            .drop(*fk, "__fts"))

@@ -130,3 +130,53 @@ def test_asof_salted_union_parity(spark):
     a = base["a_n_tok"].astype("float").fillna(-1).to_numpy()
     b = salted["a_n_tok"].astype("float").fillna(-1).to_numpy()
     assert np.array_equal(a, b)
+
+
+def test_asof_fetch_fused_matches_tolerance_join(spark):
+    """LATEST(fact_ts) SWA feature + asof_fetch == asof_join(tolerance=w):
+    the fused path (match computed inside the SWA cogroup kernel, payload
+    fetched by hash join) must reproduce the standalone as-of join."""
+    from feathr_spark import SWAFeature, WindowSpec, asof_fetch, join_window_agg_features
+
+    fact, obs = corpus(spark, sf=0.0005)
+    w = 7 * 86400 + 11  # odd width: no fact sits exactly on the left boundary
+    kw = dict(obs_ts_format="epoch", fact_ts_format="epoch")
+    vec = join_window_agg_features(
+        obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+        [SWAFeature("tok_sum", "SUM", "n_tok", WindowSpec(86400)),
+         SWAFeature("m_ts", "LATEST", "event_ts", WindowSpec(w))],
+        strategy="cogroup", **kw)
+    fused = asof_fetch(vec, fact, ["doc_id"], ["doc_id"], "m_ts", "event_ts",
+                       ["n_tok as a_n_tok", "source as a_src"]) \
+        .orderBy("obs_id").toPandas()
+    base = asof_join(obs, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+                     ["n_tok as a_n_tok", "source as a_src"],
+                     tolerance=float(w), strategy="union", **kw) \
+        .orderBy("obs_id").toPandas()
+    assert len(fused) == len(base) == obs.count()
+    a = base["a_n_tok"].astype("float").fillna(-1).to_numpy()
+    b = fused["a_n_tok"].astype("float").fillna(-1).to_numpy()
+    assert np.array_equal(a, b)
+    assert (base["a_src"].fillna("∅").to_numpy()
+            == fused["a_src"].fillna("∅").to_numpy()).all()
+    # unmatched rows must survive with null payloads
+    assert fused["a_n_tok"].isna().sum() == base["a_n_tok"].isna().sum()
+
+
+def test_asof_fetch_tie_collapse(spark):
+    """Exact-duplicate (key, ts) fact rows collapse to ONE deterministic
+    payload row — no row explosion in the fetch join."""
+    from feathr_spark import asof_fetch
+
+    fact = spark.createDataFrame(
+        [("k1", 100, "a"), ("k1", 100, "b"), ("k1", 50, "c")],
+        "k string, ts long, v string")
+    obs = spark.createDataFrame(
+        [(1, "k1", 100), (2, "k1", 100), (3, "k2", None)],
+        "obs_id long, k string, m_ts long")
+    out = asof_fetch(obs, fact, ["k"], ["k"], "m_ts", "ts", ["v as got"]) \
+        .orderBy("obs_id").toPandas()
+    assert len(out) == 3
+    assert out["got"].iloc[0] == out["got"].iloc[1]  # same deterministic winner
+    assert out["got"].iloc[0] in ("a", "b")
+    assert out["got"].isna().iloc[2]
