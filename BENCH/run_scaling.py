@@ -42,7 +42,9 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
     sys.path.insert(0, REPO)
     import time
 
-    from feathr_spark import SWAFeature, WindowSpec, asof_join, join_window_agg_features
+    import feathr_spark
+    from feathr_spark import (SWAFeature, WindowSpec, asof_fetch,
+                              join_window_agg_features)
     from feathr_spark.datagen import corpus
     from feathr_spark.session import get_spark
 
@@ -162,6 +164,9 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
                    filter="source = 'web'"),
         SWAFeature("tok_latest_7d", "LATEST", "n_tok", WindowSpec(7 * 86400)),
         SWAFeature("since_last_s", "TIMESINCE", "n_tok", WindowSpec(7 * 86400)),
+        # the as-of match timestamp, computed in the SAME kernel pass
+        # (see bench.py flagship): asof_fetch below does only the fetch
+        SWAFeature("last_ts", "LATEST", "event_ts", WindowSpec(7 * 86400)),
     ]
     # hot-key list computed ONCE (a stats job any production pipeline
     # amortizes across runs), cached and passed in — not re-counted per
@@ -184,18 +189,26 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
             hot_keys_df=hot_df, salt_buckets=16,
             prefilter_time_range=False,  # obs spans the full fact range here
         )
-        # Payload fetch: PRUNE strategy — slim (key, ts) match first, then
-        # a hash-join fetch of only the matched payload rows. The payload
-        # never enters a sort, and with the entity-partitioned fact cache
-        # it crosses zero exchanges (vs the union strategy's full payload
-        # shuffle + sort: 12.7 GB/iter at sf=2.0, a serial ~10 s
-        # page-fault toll in this sandbox at ANY core count)
-        out = asof_join(
-            vec, fact, ["doc_id"], ["doc_id"], "ts", "event_ts",
+        # Fused payload fetch: the match ts came out of the SWA kernel
+        # (last_ts), so only the fetch remains — pairs semi-join prune +
+        # tie collapse + hash join-back. The payload never enters a sort,
+        # and with the bucketed fact it crosses zero exchanges (vs the
+        # union strategy's full payload shuffle + sort: 12.7 GB/iter at
+        # sf=2.0, a serial ~10 s page-fault toll at ANY core count).
+        # vec feeds two fetch subtrees: eager cache, released below.
+        vec = vec.persist()
+        vec.count()
+        out = asof_fetch(
+            vec, fact, ["doc_id"], ["doc_id"], "last_ts", "event_ts",
             ["tokens as last_tokens", "n_tok as last_n_tok"],
-            obs_ts_format="epoch", fact_ts_format="epoch", strategy="prune",
         )
         out.write.format("noop").mode("overwrite").save()
+        # release per iteration: Spark's CacheManager matches persisted
+        # plans by canonicalized form, so without this every timed
+        # iteration after the first would silently reuse the previous
+        # iteration's caches and measure only part of the job
+        vec.unpersist()
+        feathr_spark.release_caches()
 
     wall, records = _run_timed(spark, pipeline, warmup, iters)
     print(json.dumps({
