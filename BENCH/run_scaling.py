@@ -149,7 +149,14 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
         spark.stop()
         return
     fact = spark.table(tbl)
-    obs = obs.cache()
+    # datagen sizes spark.range by defaultParallelism, which on a
+    # local-cluster master is 2 until executors register — leaving the
+    # obs cache 2-partitioned and its cogroup-exchange map side writing
+    # ~620 MB through 2 cores at EVERY parallelism level (a pure
+    # anti-scaling stage, ~5% of wall at 4x4). Repartition to the
+    # shuffle width before caching; rows are seed-fixed so content is
+    # partition-layout-independent.
+    obs = obs.repartition(128).cache()
     n_fact = fact.count()
     n_obs = obs.count()
 
@@ -172,7 +179,15 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
     # amortizes across runs), cached and passed in — not re-counted per
     # iteration (reference analogue: PreComputedFrequentItemEstimator)
     from pyspark.sql import functions as F
-    hot = max(2000, n_obs // 50)
+    # Salt every doc whose fact-row count exceeds ~half a mean kernel
+    # task (48M/128 ≈ 375k rows/task): at n_obs//50 the zipf docs ranked
+    # 2-6 (60-130k rows each) stayed unsalted and surfaced as a 23 s
+    # straggler kernel call in a 4.6 s-mean stage — at 4 executors that
+    # one task is ~26% of iteration wall (8 task waves), while at 1
+    # executor it hides inside 32 waves, so the straggler taxes exactly
+    # the scaling number. Time-sliced salting bounds the cost at <= 2
+    # fact copies regardless of threshold.
+    hot = max(2000, n_obs // 200)
     hot_df = (fact.groupBy("doc_id").count().where(F.col("count") > hot)
               .select("doc_id").cache())
     hot_df.count()

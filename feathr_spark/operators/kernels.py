@@ -279,30 +279,49 @@ def global_window_bounds(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
     """Window bounds for EVERY obs row of a bucket in two searchsorteds.
 
     Inputs are the bucket-wide (key-code, ts)-lexsorted arrays. Keys and
-    timestamps are packed into one int64 composite ``code * span + (ts -
-    base)``; window-edge targets are clipped into ``[-1, span - 1]`` so a
-    window can never bleed into a neighboring key's band. Replaces the
-    per-key Python loop (one searchsorted pair per key) with O((n+m) log
-    n) total — the difference between ~1e5 numpy calls and 2 per bucket.
+    timestamps are packed into one int64 composite: ``code * span + (ts
+    - base)`` when the key-cardinality x timestamp-SPAN product fits in
+    int64 (the cheap common case — window-edge targets are clipped into
+    ``[-1, span - 1]`` so a window can never bleed into a neighboring
+    key's band), else ``code * (U + 1) + rank(ts)`` where ``rank``
+    indexes the sorted UNIQUE fact timestamps (U of them) — rank
+    compression costs one extra sort but keeps the composite width at
+    the number of distinct times actually present instead of the raw
+    span, so a years-wide microsecond timeline costs ~log2(U) bits, not
+    ~45; overflow (and the per-key fallback) is then only reachable
+    past ~2e9 rows x keys per bucket. Replaces the per-key Python loop
+    (one searchsorted pair per key) with O((n+m) log n) total — the
+    difference between ~1e5 numpy calls and a handful per bucket.
 
-    Returns (lo, hi) global indices, or None when the composite would
-    overflow int64 (caller falls back to the per-key path).
+    Returns (lo, hi) global indices, or None when even the
+    rank-compressed composite would overflow int64 (caller falls back
+    to the per-key path).
     """
     n_obs = len(ots)
     if len(fts) == 0:
         z = np.zeros(n_obs, dtype=np.int64)
         return z, z
+    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
     base = int(fts.min())
     top = max(int(fts.max()), int(ots.max()) if n_obs else base)
     span = top - base + 2
-    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
-    if span <= 0 or kmax > (2**62) // span:
+    if kmax <= (2**62) // span:
+        comp_f = fc * span + (fts - base)
+        t_lo = np.clip(ots - width_us - delay_us - base, -1, span - 1)
+        t_hi = np.clip(ots - delay_us - base, -1, span - 1)
+        lo = np.searchsorted(comp_f, oc * span + t_lo, side="right")
+        hi = np.searchsorted(comp_f, oc * span + t_hi, side="right")
+        return lo, hi
+    uts = np.unique(fts)
+    width = len(uts) + 1
+    if kmax > (2**62) // width:
         return None
-    comp_f = fc * span + (fts - base)
-    t_lo = np.clip(ots - width_us - delay_us - base, -1, span - 1)
-    t_hi = np.clip(ots - delay_us - base, -1, span - 1)
-    lo = np.searchsorted(comp_f, oc * span + t_lo, side="right")
-    hi = np.searchsorted(comp_f, oc * span + t_hi, side="right")
+    # comp_f is sorted: fc ascending, and within a key fts ascending
+    comp_f = fc * width + np.searchsorted(uts, fts)
+    r_lo = np.searchsorted(uts, ots - width_us - delay_us, side="right")
+    r_hi = np.searchsorted(uts, ots - delay_us, side="right")
+    lo = np.searchsorted(comp_f, oc * width + r_lo, side="left")
+    hi = np.searchsorted(comp_f, oc * width + r_hi, side="left")
     return lo, hi
 
 
@@ -322,7 +341,10 @@ def global_count_distinct(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
     covers one INTERVAL of L values, and the answer per obs row is
     interval-stabbing: ``#(starts <= L) - #(ends <= L)`` — two
     searchsorteds over the whole bucket, keys kept apart by the same
-    composite ``key * span + offset`` packing as global_window_bounds.
+    two-tier composite packing as global_window_bounds: ``key * span +
+    offset`` when it fits int64, else rank-compressed ``key * (U + 1) +
+    rank(value)`` (one shared rank table over interval starts, ends,
+    and query bounds preserves every <=-comparison, including ties).
 
     ``codes``: int64 value codes per fact row (fact-sorted order), -1 for
     null (nulls never count). Returns per-obs counts (0 when the window
@@ -332,37 +354,43 @@ def global_count_distinct(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
     n_obs = len(ots)
     if len(fts) == 0:
         return np.zeros(n_obs, dtype=np.int64)
-    # base must reach below the smallest window start L: clipping L and
-    # the interval starts to a shared floor independently would reorder
-    # them (s_time in (L, base) would clip equal to an L below it)
-    base = int(fts.min())
-    if n_obs:
-        base = min(base, int(ots.min()) - width_us - delay_us)
-    top = max(int(fts.max()), int(ots.max()) if n_obs else base)
-    span = top - base + 3  # offsets shifted +1; 0 = "before everything"
-    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
-    if span <= 0 or kmax > (2**62) // span:
-        return None
     nn = codes >= 0
     fc_v, fts_v, code_v = fc[nn], fts[nn], codes[nn]
     if len(fts_v) == 0:
         return np.zeros(n_obs, dtype=np.int64)
-    # prev same-(key, value) timestamp; -inf (offset 0) for first occurrences
+    # prev same-(key, value) timestamp; first occurrences have no prev
+    # (the max() below then just keeps ts - width)
     o2 = np.lexsort((fts_v, code_v, fc_v))
     same = np.zeros(len(o2), dtype=bool)
     same[1:] = (fc_v[o2][1:] == fc_v[o2][:-1]) & (code_v[o2][1:] == code_v[o2][:-1])
-    prev_off_sorted = np.zeros(len(o2), dtype=np.int64)
-    prev_off_sorted[1:] = np.where(same[1:], fts_v[o2][:-1] - base + 1, 0)
-    prev_off = np.empty(len(o2), dtype=np.int64)
-    prev_off[o2] = prev_off_sorted
-    # interval [s, e) of L-offsets in which row k is the window's first
+    prev_sorted = np.full(len(o2), np.iinfo(np.int64).min, dtype=np.int64)
+    prev_sorted[1:] = np.where(same[1:], fts_v[o2][:-1], np.iinfo(np.int64).min)
+    prev = np.empty(len(o2), dtype=np.int64)
+    prev[o2] = prev_sorted
+    # interval [s, e) of L values in which row k is the window's first
     # occurrence of its value
-    s_off = np.maximum(np.maximum(fts_v - width_us - base + 1, 0), prev_off)
-    e_off = fts_v - base + 1
-    starts = np.sort(fc_v * span + s_off)
-    ends = np.sort(fc_v * span + e_off)
-    l_off = np.clip(ots - width_us - delay_us - base + 1, 0, span - 1)
-    comp_l = oc * span + l_off
+    s_val = np.maximum(fts_v - width_us, prev)
+    e_val = fts_v
+    l_val = ots - width_us - delay_us
+    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
+    # span packing first (cheap), rank compression when span overflows
+    # (same two-tier scheme as global_window_bounds)
+    base = min(int(s_val.min()), int(l_val.min()) if n_obs else int(s_val.min()))
+    top = max(int(e_val.max()), int(l_val.max()) if n_obs else int(e_val.max()))
+    span = top - base + 2
+    if kmax <= (2**62) // span:
+        starts = np.sort(fc_v * span + (s_val - base))
+        ends = np.sort(fc_v * span + (e_val - base))
+        comp_l = oc * span + np.clip(l_val - base, 0, span - 1)
+        return (np.searchsorted(starts, comp_l, side="right")
+                - np.searchsorted(ends, comp_l, side="right"))
+    uvals = np.unique(np.concatenate([s_val, e_val, l_val]))
+    width = len(uvals) + 1
+    if kmax > (2**62) // width:
+        return None
+    starts = np.sort(fc_v * width + np.searchsorted(uvals, s_val))
+    ends = np.sort(fc_v * width + np.searchsorted(uvals, e_val))
+    comp_l = oc * width + np.searchsorted(uvals, l_val)
     return (np.searchsorted(starts, comp_l, side="right")
             - np.searchsorted(ends, comp_l, side="right"))
 
@@ -377,15 +405,24 @@ def global_asof_indices(fc: np.ndarray, fts: np.ndarray, oc: np.ndarray,
     n_obs = len(ots)
     if len(fts) == 0:
         return np.zeros(n_obs, dtype=np.int64), np.zeros(n_obs, dtype=bool)
+    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
     base = int(fts.min())
     top = max(int(fts.max()), int(ots.max()) if n_obs else base)
     span = top - base + 2
-    kmax = int(max(fc.max(initial=0), oc.max(initial=0))) + 1
-    if span <= 0 or kmax > (2**62) // span:
-        return None
-    comp_f = fc * span + (fts - base)
-    t_hi = np.clip(ots - delay_us - base, -1, span - 1)
-    hi = np.searchsorted(comp_f, oc * span + t_hi, side="right")
+    if kmax <= (2**62) // span:
+        comp_f = fc * span + (fts - base)
+        t_hi = np.clip(ots - delay_us - base, -1, span - 1)
+        hi = np.searchsorted(comp_f, oc * span + t_hi, side="right")
+    else:
+        # rank-compressed fallback (same two-tier scheme as
+        # global_window_bounds); None only past ~2e9 rows x keys
+        uts = np.unique(fts)
+        width = len(uts) + 1
+        if kmax > (2**62) // width:
+            return None
+        comp_f = fc * width + np.searchsorted(uts, fts)
+        r_hi = np.searchsorted(uts, ots - delay_us, side="right")
+        hi = np.searchsorted(comp_f, oc * width + r_hi, side="left")
     idx = np.maximum(hi - 1, 0)
     ok = (hi > 0) & (fc[idx] == oc)
     if tolerance_us is not None:

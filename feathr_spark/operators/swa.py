@@ -245,6 +245,32 @@ def _make_kernel(obs_schema: T.StructType, out_schema: T.StructType, specs: list
             or s["agg"].endswith("_POOLING") or s["agg"] in CUSTOM_AGGS
 
     def kernel(obs_pdf: pd.DataFrame, fact_pdf: pd.DataFrame) -> pd.DataFrame:
+        # Null-key/null-ts rows (__nk != 0) never match any fact row by
+        # construction (fact __nk is always 0), so answer them directly
+        # with all-null features instead of letting their per-row-unique
+        # __nk values into the composite key codes. Left inside, they
+        # inflate key cardinality by the null-row count, trip the
+        # int64-composite overflow guard, and silently demote EVERY
+        # bucket to the per-key fallback loop (measured 3-5x kernel cost
+        # on a 1%-null-key corpus) — the null rows must be isolated from
+        # the shuffle, not from the fast path.
+        if "__nk" in obs_pdf.columns:
+            nk_arr = obs_pdf["__nk"].to_numpy()
+            bad = nk_arr != 0
+            if bad.any():
+                nulls = obs_pdf.loc[bad, obs_out_cols].reset_index(drop=True)
+                for s in specs:
+                    name = s["name"]
+                    if name in int_feats:
+                        nulls[name] = pd.array([None] * len(nulls), dtype="Int64")
+                    elif _is_object(s):
+                        nulls[name] = np.full(len(nulls), None, dtype=object)
+                    else:
+                        nulls[name] = np.full(len(nulls), np.nan)
+                if bad.all():
+                    return nulls
+                valid_res = kernel(obs_pdf[~bad].reset_index(drop=True), fact_pdf)
+                return pd.concat([valid_res, nulls], ignore_index=True)
         n = len(obs_pdf)
         if n == 0:
             return pd.DataFrame({c.name: pd.Series(dtype="object") for c in out_schema.fields})

@@ -506,3 +506,102 @@ def test_cms_hot_keys_superset_of_exact(spark):
     assert exact <= cms  # may over-report, never under-reports
     # over-reporting is bounded: eps=0.01 of 390 rows ~ 4 extra counts max
     assert (2, "b") not in cms
+
+
+def test_null_key_rows_stay_off_the_global_composite():
+    """Null-key/null-ts observations carry per-row-unique __nk ids; left
+    inside the kernel's composite key codes they inflate cardinality by
+    the null-row count and trip the int64-composite overflow guard,
+    silently demoting EVERY bucket to the per-key fallback loop
+    (measured 3-5x kernel cost at sf8 with a 1%-null-key corpus). The
+    kernel must answer them directly (all-null features) and keep the
+    global searchsorted path for the valid rows."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from feathr_spark.operators import kernels, swa
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    DAY = 86_400_000_000
+    fact = pd.DataFrame({
+        "__k0": [f"k{i % 300}" for i in range(n)],
+        "__ts": rng.integers(0, 30 * DAY, n),
+        "__nk": np.zeros(n, dtype=np.int64),
+        "__m0": rng.random(n) * 10,
+    })
+    nk = np.where(np.arange(n) % 2 == 1, np.arange(n) + 1, 0)
+    obs = pd.DataFrame({
+        "__k0": [f"k{i % 300}" if i % 2 == 0 else None for i in range(n)],
+        "obs_id": np.arange(n),
+        "__ts": rng.integers(0, 31 * DAY, n),
+        "__nk": nk.astype(np.int64),
+    })
+    obs_schema = T.StructType([
+        T.StructField("__k0", T.StringType()), T.StructField("obs_id", T.LongType()),
+        T.StructField("__ts", T.LongType()), T.StructField("__nk", T.LongType())])
+    out_schema = T.StructType(list(obs_schema.fields) + [
+        T.StructField("vsum", T.DoubleType()), T.StructField("vcd", T.LongType())])
+    specs = [dict(name="vsum", agg="SUM", metric="__m0", group_col=None,
+                  width_us=7 * DAY, delay_us=0, limit=None),
+             dict(name="vcd", agg="COUNT_DISTINCT", metric="__m0", group_col=None,
+                  width_us=7 * DAY, delay_us=0, limit=None)]
+    kern = swa._make_kernel(obs_schema, out_schema, specs, ["__k0", "__nk"])
+
+    calls = {"global": 0, "fallback": 0}
+    orig = kernels.global_window_bounds
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls["global" if r is not None else "fallback"] += 1
+        return r
+
+    kernels.global_window_bounds = spy
+    try:
+        res = kern(obs, fact)
+    finally:
+        kernels.global_window_bounds = orig
+    # the __nk cardinality (n/2 unique ids x 300 keys over a month-span
+    # micro timeline) would overflow the span composite if it leaked in
+    assert calls["global"] > 0 and calls["fallback"] == 0
+    assert len(res) == n
+    by_id = res.set_index("obs_id")
+    odd = by_id.loc[[i for i in range(1, n, 2)]]
+    assert odd["vsum"].isna().all() and odd["vcd"].isna().all()
+    even = by_id.loc[[i for i in range(0, n, 2)]]
+    assert even["vsum"].notna().any()
+
+
+def test_rank_compressed_composite_tier_matches_span_tier():
+    """When key-cardinality x timestamp-span overflows int64, the global
+    kernels fall back to rank-compressed composites, not the per-key
+    loop; results must be identical to the span tier on the same data
+    (exercised by scaling timestamps+widths 10^6x, which preserves every
+    window membership)."""
+    import numpy as np
+
+    from feathr_spark.operators import kernels
+
+    rng = np.random.default_rng(11)
+    nf, no, nk = 8000, 3000, 40
+    fc = np.sort(rng.integers(0, nk, nf))
+    fts_raw = rng.integers(0, 10**7, nf)
+    ordf = np.lexsort((fts_raw, fc)); fc, fts = fc[ordf], fts_raw[ordf]
+    oc = np.sort(rng.integers(0, nk + 3, no))
+    ots_raw = rng.integers(-10**5, int(1.1e7), no).astype(np.int64)
+    ordo = np.lexsort((ots_raw, oc)); oc, ots = oc[ordo], ots_raw[ordo]
+    W, D = 2 * 10**6, 3 * 10**5
+    S = 4 * 10**11  # scale => span*kmax >> 2^62 => rank tier
+    lo1, hi1 = kernels.global_window_bounds(fc, fts, oc, ots, W, D)
+    lo2, hi2 = kernels.global_window_bounds(fc, fts * S, oc, ots * S, W * S, D * S)
+    assert (lo1 == lo2).all() and (hi1 == hi2).all()
+
+    vals = rng.integers(0, 9, nf).astype(np.int64)
+    cd1 = kernels.global_count_distinct(fc, fts, oc, ots, vals, W, D)
+    cd2 = kernels.global_count_distinct(fc, fts * S, oc, ots * S, vals, W * S, D * S)
+    assert (cd1 == cd2).all()
+
+    i1, ok1 = kernels.global_asof_indices(fc, fts, oc, ots, D)
+    i2, ok2 = kernels.global_asof_indices(fc, fts * S, oc, ots * S, D * S)
+    assert (ok1 == ok2).all() and (i1[ok1] == i2[ok2]).all()
