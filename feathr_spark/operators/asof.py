@@ -308,6 +308,22 @@ def _asof_cogroup(obs, fact_proj, n_keys, vcols, vtypes, obs_schema, out_names,
     out_schema = T.StructType(out_fields)
 
     def kernel(obs_pdf: pd.DataFrame, fact_pdf: pd.DataFrame) -> pd.DataFrame:
+        # Null-key/null-ts rows (__nk != 0) never match any fact row by
+        # construction; answer them directly instead of letting their
+        # per-row-unique __nk ids inflate the composite key cardinality,
+        # which trips the int64 overflow guard and demotes the whole
+        # bucket to the per-key loop (see swa._make_kernel).
+        if "__nk" in obs_pdf.columns:
+            nk_arr = obs_pdf["__nk"].to_numpy()
+            bad = nk_arr != 0
+            if bad.any():
+                nulls = obs_pdf.loc[bad, obs_out_cols].reset_index(drop=True)
+                for name in out_names:
+                    nulls[name] = np.full(len(nulls), None, dtype=object)
+                if bad.all():
+                    return nulls
+                valid_res = kernel(obs_pdf[~bad].reset_index(drop=True), fact_pdf)
+                return pd.concat([valid_res, nulls], ignore_index=True)
         n = len(obs_pdf)
         if n == 0:
             return pd.DataFrame({c.name: pd.Series(dtype="object") for c in out_schema.fields})
