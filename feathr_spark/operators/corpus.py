@@ -379,16 +379,19 @@ def leakage_safe_split(
 
     One content-keyed exchange (the window over ``group``) — the
     unavoidable cost of group-atomic assignment; everything else is
-    row-local. The LCG needs ``rep * 1103515245`` to stay in int64, so
-    representative ids must be < ~8.4e9 — true for content-derived
-    32-bit ids; document ids wider than that should pass a group column
-    of bounded ids.
+    row-local. The representative id is bounded with ``pmod(rep, 2^31)``
+    before the LCG multiply so the product stays in int64 for ANY long
+    id (an unbounded ``rep * 1103515245`` silently wraps past ~8.4e9 and
+    Spark's signed ``%`` then sends every overflowed group to 'train' —
+    a biased split exactly at the id ranges a 100 TB corpus produces);
+    for ids already in [0, 2^31) the assignment is unchanged.
     """
     g = (F.col(group) if isinstance(group, str)
          else group if group is not None
          else F.xxhash64(normalize_text(F.col(text_col))))
     w = Window.partitionBy(g)
-    rep = F.min(F.col(id_col)).over(w).cast("long")
+    rep = F.pmod(F.min(F.col(id_col)).over(w).cast("long"),
+                 F.lit(2147483648))
     cell = ((rep * F.lit(1103515245) + F.lit(12345))
             % F.lit(2147483648)) % F.lit(1000000)
     side = F.when(cell < F.lit(int(train_fraction * 1000000)),
@@ -739,10 +742,19 @@ def remove_duplicate_spans(
     whole-stage codegen, no Python worker touches the corpus."""
     dup = duplicate_windows(df, text_col, id_col, window, min_docs)
     if keep_first:
-        w = Window.partitionBy("win_hash").orderBy(F.col(id_col).asc(),
-                                                   F.col("pos").asc())
-        dup = dup.withColumn("__rn", F.row_number().over(w)) \
-            .where(F.col("__rn") > 1).drop("__rn")
+        # global-first = lexicographic min (id, pos) per window hash.
+        # A combinable groupBy-min (map-side partial agg) + join, NOT a
+        # row_number() window: a viral boilerplate passage puts millions
+        # of occurrences under one win_hash, and a window sort would
+        # funnel them through a single straggler partition; the min
+        # aggregate combines map-side and the (duplicated-window-bounded)
+        # first table broadcasts.
+        first = dup.groupBy("win_hash").agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        dup = (dup.join(first, "win_hash")
+               .where(~((F.col(id_col) == F.col(f"__first.{id_col}"))
+                        & (F.col("pos") == F.col("__first.pos"))))
+               .drop("__first"))
     spans = dup.groupBy(id_col).agg(F.collect_set("pos").alias("__pp"))
     words = _text_words(text_col)
     covered = _covered_indices(F.coalesce(F.col("__pp"),

@@ -1015,6 +1015,9 @@ def minhash_incremental_dedup(
     anchored_reps.count()
     verified.unpersist()
     fp_new.unpersist()
+    # labels is materialized (localCheckpoint or driver fast path), so the
+    # new-new edge cache has no remaining reader
+    nn.unpersist()
     out = (
         new_docs.join(
             labels.select(F.col("id").alias(id_col), F.col("rep").alias("cluster_rep")),

@@ -98,8 +98,11 @@ def train_ngram_lm(
     words = corpus.select(
         _words(normalize_text(F.col(text_col))).alias("ws"))
 
-    uni = (words.select(F.explode("ws").alias("w"))
-           .groupBy("w").agg(F.count("*").alias("n")))
+    # the unigram count table feeds two actions (vocab top-K + the total
+    # count): persist so the corpus explode+groupBy runs once
+    uni = track_cache(
+        (words.select(F.explode("ws").alias("w"))
+         .groupBy("w").agg(F.count("*").alias("n"))).persist())
     vocab = (uni.where(F.col("n") >= min_count)
              .orderBy(F.desc("n"), F.asc("w")).limit(vocab_size)
              .select("w", "n"))

@@ -72,6 +72,8 @@ def feature_drift(
                     ).collect()[0]
     structs = []
     for c in feature_cols:
+        if ranges[f"__mn_{c}"] is None:
+            continue  # all-null feature: no distribution to compare
         mn, mx = float(ranges[f"__mn_{c}"]), float(ranges[f"__mx_{c}"])
         width = (mx - mn) / bins if mx > mn else 1.0
         b = F.least(F.lit(bins - 1),

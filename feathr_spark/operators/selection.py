@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feathr_spark.operators.text import _words, normalize_text
+from feathr_spark.session import track_cache
 
 
 def _unigram_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -55,11 +56,15 @@ def importance_scores(
     cells (``method="hashed"``), so one-sided words stay finite.
     """
     if method == "vocab":
-        raw_counts = _unigram_counts(raw, text_col)
+        # the count tables feed two driver actions each (cells collect +
+        # totals); persist so the corpus explode+groupBy runs ONCE per
+        # side, not once per action (registered with track_cache —
+        # released by feathr_spark.release_caches())
+        raw_counts = track_cache(_unigram_counts(raw, text_col).persist())
         vocab = (raw_counts.where(F.col("n") >= min_count)
                  .orderBy(F.desc("n"), F.asc("w")).limit(vocab_size)
                  .select("w"))
-        tgt_counts = _unigram_counts(target, text_col)
+        tgt_counts = track_cache(_unigram_counts(target, text_col).persist())
         cells = (vocab.join(raw_counts, "w", "left")
                       .withColumnRenamed("n", "n_raw")
                       .join(tgt_counts, "w", "left")
@@ -112,14 +117,18 @@ def importance_scores(
 
     if method == "hashed":
         h = lambda c: F.pmod(F.xxhash64(c), F.lit(buckets))  # noqa: E731
-        raw_cells = (raw.select(F.explode(
-            _words(normalize_text(F.col(text_col)))).alias("w"))
-            .groupBy(h(F.col("w")).alias("b"))
-            .agg(F.count("*").alias("n_raw")))
-        tgt_cells = (target.select(F.explode(
-            _words(normalize_text(F.col(text_col)))).alias("w"))
-            .groupBy(h(F.col("w")).alias("b"))
-            .agg(F.count("*").alias("n_tgt")))
+        # <= buckets rows each, but read by two actions (totals + the
+        # ratio-table join): persist so each corpus is exploded once
+        raw_cells = track_cache(
+            (raw.select(F.explode(
+                _words(normalize_text(F.col(text_col)))).alias("w"))
+             .groupBy(h(F.col("w")).alias("b"))
+             .agg(F.count("*").alias("n_raw"))).persist())
+        tgt_cells = track_cache(
+            (target.select(F.explode(
+                _words(normalize_text(F.col(text_col)))).alias("w"))
+             .groupBy(h(F.col("w")).alias("b"))
+             .agg(F.count("*").alias("n_tgt"))).persist())
         tots = (raw_cells.agg(F.sum("n_raw")).collect()[0][0] or 0,
                 tgt_cells.agg(F.sum("n_tgt")).collect()[0][0] or 0)
         ratio = (F.log(((F.coalesce("n_tgt", F.lit(0)) + F.lit(smooth))

@@ -123,6 +123,34 @@ def test_leakage_safe_split_groups_stay_together(spark):
     assert all(again[r["doc_id"]] == r["split"] for r in out.collect())
 
 
+def test_leakage_safe_split_wide_ids_unbiased(spark):
+    """Representative ids past 2^31 must not overflow the LCG: an
+    unbounded rep * 1103515245 wraps negative and Spark's signed %
+    sends every such group to 'train' (silent bias at exactly the id
+    ranges a big corpus produces). The pmod-bounded form must populate
+    BOTH sides on wide ids and keep small-id assignments identical to
+    the raw LCG."""
+    from feathr_spark.operators.corpus import leakage_safe_split
+
+    base = 10_000_000_000  # > 2^31: raw LCG overflows int64
+    rows = [(base + i * 7, f"text number {i}", "s") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = leakage_safe_split(df, 0.5)
+    frac = out.where(F.col("split") == "train").count() / 400
+    assert 0.3 < frac < 0.7, f"biased split on wide ids: train frac {frac}"
+    # small ids: assignment equals the raw (unbounded) LCG formula
+    small = spark.createDataFrame(
+        [(i * 13, f"small {i}", "s") for i in range(200)],
+        "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["split"]
+           for r in leakage_safe_split(small, 0.8).collect()}
+    for i in range(200):
+        rep = i * 13
+        cell = ((rep * 1103515245 + 12345) % 2147483648) % 1000000
+        want = "train" if cell < 800000 else "val"
+        assert got[rep] == want
+
+
 def test_token_contamination_and_decontaminate(spark):
     from feathr_spark.operators.tokens import (token_contamination,
                                                decontaminate_tokens)
