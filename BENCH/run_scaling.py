@@ -98,6 +98,9 @@ def job(cpus: int, sf: float, warmup: int = 1, iters: int = 2,
     if pipeline == "dedup":
         _dedup_job(spark, cpus, sf, warmup, iters, prep_only)
         return
+    if pipeline == "tokens":
+        _tokens_job(spark, cpus, sf, warmup, iters, prep_only)
+        return
     fact_raw, obs = corpus(spark, sf=sf)
     # Input setup, excluded from the timer: the corpus is written ONCE as
     # an ENTITY-HASH-BUCKETED, timestamp-sorted parquet table — the exact
@@ -347,6 +350,64 @@ def _dedup_job(spark, cpus: int, sf: float, warmup: int, iters: int,
     spark.stop()
 
 
+def _tokens_job(spark, cpus: int, sf: float, warmup: int, iters: int,
+                prep_only: bool) -> None:
+    """Tokens-payload scaling leg: the "tokenize and shard the corpus"
+    pipeline that PRODUCES the north star's pre-tokenized sequence
+    table — vocabulary build -> zero-shuffle Arrow tokenization -> LM
+    chunk windowing -> deterministic shard shuffle. Hot paths: the
+    vectorized encode kernel (CPU-bound, row-local, zero shuffle) and
+    ONE wide hash exchange of the token arrays (shard write order) with
+    per-shard parallel sorts. Shares the planted-duplicate documents
+    corpus with the dedup leg so the table is synthesized once."""
+    import feathr_spark
+    from pyspark.sql import functions as F
+    from feathr_spark.datagen import documents
+    from feathr_spark.operators.corpus import shard_shuffle
+    from feathr_spark.operators.text import (build_vocabulary, encode_tokens,
+                                             normalize_text, token_count)
+    from feathr_spark.operators.tokens import chunk_sequences
+
+    wh = os.environ.get("FEATHR_BENCH_WAREHOUSE", "/dev/shm/feathr-bench-wh")
+    codec = os.environ.get("FEATHR_BENCH_CODEC", "zstd")
+    spark.conf.set("spark.sql.parquet.compression.codec", codec)
+    n_docs = int(250_000 * sf)
+    path = f"{wh}/docs_corpus_{codec}_sf{sf}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        # one-time synthesis, excluded from the timer; 128 files so both
+        # parallelism levels read identical bytes with full task fan-out
+        documents(spark, n_docs, num_partitions=128).write.mode("overwrite").parquet(path)
+    if prep_only:
+        print(json.dumps({"prep": path, "rows": spark.read.parquet(path).count()}))
+        spark.stop()
+        return
+    docs = spark.read.parquet(path)
+    # token volume is a property of the input (n_tok == word count over
+    # the shared normalizer, OOV ids included): compute once, untimed
+    total_tokens = docs.select(
+        F.sum(token_count(normalize_text(F.col("text")))).alias("t")
+    ).first()["t"]
+
+    def pipeline():
+        vocab = build_vocabulary(docs, max_size=32768)
+        tok = encode_tokens(docs, vocab, keep_cols=("source",))
+        chunks = chunk_sequences(tok, chunk_size=128, stride=96, min_chunk=16)
+        shards = shard_shuffle(
+            chunks, n_shards=128,
+            hash_col=F.xxhash64("doc_id", "chunk_idx", F.lit(1)))
+        shards.write.format("noop").mode("overwrite").save()
+        feathr_spark.release_caches()
+
+    wall, records = _run_timed(spark, pipeline, warmup, iters)
+    print(json.dumps({
+        "cpus": cpus, "sf": sf, "wall_s": round(wall, 2),
+        "iterations": records, "warmup_iters": warmup,
+        "obs_rows": n_docs, "fact_rows": int(total_tokens),
+        "rows_per_sec": round(total_tokens / wall, 1),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -357,11 +418,13 @@ def main() -> None:
     ap.add_argument("--mode", choices=["threads", "exec"], default="threads",
                     help="threads: local[N]. exec: local-cluster[N/4,4,mem] — "
                          "real executor JVMs, the N->4N executor protocol")
-    ap.add_argument("--pipeline", choices=["flagship", "dedup"],
+    ap.add_argument("--pipeline", choices=["flagship", "dedup", "tokens"],
                     default="flagship",
                     help="flagship: SWA battery + as-of lookup. dedup: "
                          "minhash-LSH near-dup clustering (distributed "
-                         "fixpoint CC) over the planted-duplicate corpus")
+                         "fixpoint CC) over the planted-duplicate corpus. "
+                         "tokens: vocab -> Arrow tokenize -> chunk -> "
+                         "shard-shuffle (the tokens-payload leg)")
     ap.add_argument("--job", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--prep", action="store_true",
                     help="only synthesize + write the shared bucketed input "
@@ -393,7 +456,7 @@ def main() -> None:
     # input lives in the bucketed warehouse table, not a heap cache:
     # a moderate pre-touched heap leaves tmpfs room for table + shuffle
     env.setdefault("FEATHR_SPARK_DRIVER_MEM", "32g")
-    if args.pipeline == "dedup":
+    if args.pipeline in ("dedup", "tokens"):
         # Right-size heaps to the job: the dedup leg's working set
         # (fingerprint cache + banding shuffles at sf4) is well under
         # 2 GB/executor, and AlwaysPreTouch-ing 4x9 GB executors plus a
@@ -454,8 +517,25 @@ def main() -> None:
         level_desc = "local[N] executor-thread counts."
         col = "local[N]"
         labels = {r["cpus"]: str(r["cpus"]) for r in results}
-    unit = "docs" if args.pipeline == "dedup" else "obs rows"
-    if args.pipeline == "dedup":
+    unit = {"dedup": "docs", "tokens": "tokens"}.get(args.pipeline, "obs rows")
+    if args.pipeline == "tokens":
+        if args.out == os.path.join(REPO, "BENCH", "BASELINE.md"):
+            args.out = os.path.join(REPO, "BENCH", "BASELINE_tokens.md")
+        job_lines = [
+            "## Tokenize-and-shard scaling (tokens payload)",
+            "",
+            "Protocol: identical tokens-pipeline job (32k-word vocabulary build",
+            "-> zero-shuffle broadcast-dict Arrow tokenization producing the",
+            "north-star pre-tokenized shape (doc_id, tokens array<int>, n_tok)",
+            "-> LM chunk windowing (size 128 / stride 96, pure codegen explode)",
+            "-> deterministic shard shuffle into 128 shards: ONE wide hash",
+            "exchange of the token arrays + per-shard parallel sorts) on the",
+            f"identical corpus (sf={args.sf}, {lo['obs_rows']:,} documents /",
+            f"{lo['fact_rows']:,} tokens, datagen.documents — seed-fixed,",
+            "partition-count-independent), run in fresh JVMs at two cluster",
+            "sizes:",
+        ]
+    elif args.pipeline == "dedup":
         if args.out == os.path.join(REPO, "BENCH", "BASELINE.md"):
             args.out = os.path.join(REPO, "BENCH", "BASELINE_dedup.md")
         job_lines = [

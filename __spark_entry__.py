@@ -1842,6 +1842,47 @@ def q_c4_rules(spark, sf_dir):
                     "r_blocklist", "c4_pass")])
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (operators/extract.py) — the raw-web
+    stage ahead of every curation operator. Deterministic HTML is
+    synthesized around documents.text (title with entities, style +
+    script bodies with decoy tags, an HTML comment spanning a newline,
+    paragraph structure from ' data ' splits, anchors, and on
+    doc_id%3==0 an entity-rich div + second anchor); the full extracted
+    text and title are compared STRING-FOR-STRING against DuckDB
+    replaying the identical dialect-portable regex pipeline, plus link/
+    tag counts and the text:html length ratio."""
+    from feathr_spark.operators.extract import with_html_extraction
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><title> Doc &amp; '), d, F.lit(' </title>'),
+        F.lit('<style type="text/css">p {color:red}</style>'),
+        F.lit('<script type="text/javascript">var x = "<p>ignored</p>";'
+              '</script></head>'),
+        F.lit('<body><!-- nav\nboilerplate --><h1>Heading '), d,
+        F.lit('</h1><p>'),
+        F.replace(F.col("text"), F.lit(" data "), F.lit(" data</p><p>")),
+        F.lit('</p><a href="/home">home link</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('<br/><div class="x">extra &lt;tag&gt; &quot;q&quot;'
+                     '&nbsp;here</div><a name="z">second</a>'))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    staged = docs.select("doc_id", html.alias("html"))
+    out = with_html_extraction(staged, html_col="html",
+                               text_col="extracted_text",
+                               title_col="title")
+    return out.select(
+        "doc_id", "title", "extracted_text",
+        F.length("extracted_text").cast("long").alias("n_clean_chars"),
+        F.col("n_links").cast("int").alias("n_links"),
+        F.col("n_tags").cast("int").alias("n_tags"),
+        (F.length("extracted_text").cast("double")
+         / F.length("html")).alias("text_html_ratio"))
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Full Gopher A1.1 repetition-filter set
     (operators/corpus.py::gopher_repetition): dup line/para fractions
@@ -2324,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "asof_fused": q_asof_fused,
+        "html_extract": q_html_extract,
     }
 
 
@@ -3592,6 +3634,74 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY source
                                           ORDER BY doc_id) AS rn
                 FROM keep) t WHERE rn <= 30
+        """,
+        "html_extract": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       '<html><head><title> Doc &amp; ' || doc_id
+                       || ' </title>'
+                       || '<style type="text/css">p {color:red}</style>'
+                       || '<script type="text/javascript">var x = "<p>ignored</p>";</script></head>'
+                       || '<body><!-- nav' || chr(10)
+                       || 'boilerplate --><h1>Heading ' || doc_id
+                       || '</h1><p>'
+                       || replace(text, ' data ', ' data</p><p>')
+                       || '</p><a href="/home">home link</a>'
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN '<br/><div class="x">extra &lt;tag&gt; &quot;q&quot;&nbsp;here</div><a name="z">second</a>'
+                          ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ), stripped AS (
+                SELECT doc_id, html,
+                       regexp_replace(regexp_replace(regexp_replace(html,
+                           '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+                           '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+                           '(?s)<!--.*?-->', '', 'g') AS s
+                FROM raw
+            ), body AS (
+                SELECT doc_id, html, s,
+                       regexp_replace(regexp_replace(
+                           regexp_replace(s,
+                               '(?is)<head\b[^>]*>.*?</head\s*>', '', 'g'),
+                           '(?is)</?(?:p|div|li|ul|ol|table|tr|td|th|h[1-6]|blockquote|section|article|header|footer|br|hr)\b[^>]*>',
+                           chr(10), 'g'),
+                           '(?s)<[^>]*>', ' ', 'g') AS b,
+                       regexp_extract(html,
+                           '(?is)<title\b[^>]*>([^<]*)</title\s*>', 1) AS t0
+                FROM stripped
+            ), ent AS (
+                SELECT doc_id, html, s,
+                       replace(replace(replace(replace(replace(replace(replace(
+                           b, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                           '&amp;', '&') AS e,
+                       replace(replace(replace(replace(replace(replace(replace(
+                           t0, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                           '&amp;', '&') AS te
+                FROM body
+            ), norm AS (
+                SELECT doc_id, html, s,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(e, '[ \t\r]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '\n{3,}', chr(10) || chr(10), 'g'),
+                           '(?s)^\s+|\s+$', '', 'g') AS text,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(te, '[ \t\r]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '\n{3,}', chr(10) || chr(10), 'g'),
+                           '(?s)^\s+|\s+$', '', 'g') AS title
+                FROM ent
+            )
+            SELECT doc_id, title, text AS extracted_text,
+                   length(text)::BIGINT AS n_clean_chars,
+                   len(regexp_extract_all(s, '(?is)<a\b[^>]*>'))::INT
+                       AS n_links,
+                   len(regexp_extract_all(s, '(?s)<[^>]*>'))::INT AS n_tags,
+                   length(text)::DOUBLE / length(html) AS text_html_ratio
+            FROM norm
         """,
         "c4_rules": r"""
             WITH staged AS (

@@ -48,6 +48,7 @@ HEADLINE = [
     "token_counts",
     "tokenize_docs",          # vocab build + Arrow encode (tokens payload)
     "quality_features",
+    "html_extract",           # HTML->text extraction (codegen regex chain)
     "minhash_clusters",
     "simhash_pairs",
     "knn_bruteforce",
