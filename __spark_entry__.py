@@ -1811,6 +1811,55 @@ def q_shard_shuffle(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_shard_write(spark, sf_dir):
+    """Resumable sharded corpus writer (sources/shards.py): write the
+    documents table into 8 pos-sorted shards committed by per-shard
+    lineage manifests, then simulate a kill (shard 0's manifest and
+    data removed) and RESUME — the rewritten shard must reproduce the
+    identical deterministic assignment (engine-portable LCG hash, same
+    as shard_shuffle). Emits per-shard rows from the POST-RESUME
+    manifests plus a max-pos check read back from disk; the oracle
+    recomputes both from the hash in SQL (rows survive the kill/resume
+    cycle only if resume re-derives byte-identical shards)."""
+    import shutil
+    import tempfile
+
+    from feathr_spark.sources.shards import (load_shards, shard_report,
+                                             write_shards)
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345),
+               F.lit(2147483648))
+    sink = tempfile.mkdtemp(prefix="feathr_shards_")
+    try:
+        write_shards(docs, sink, n_shards=8, hash_col=h, wave_size=3,
+                     with_checksum=False)
+        # kill: lose shard 0 entirely, then resume (skips 1..7)
+        shutil.rmtree(f"{sink}/shard=0")
+        report = write_shards(docs, sink, n_shards=8, hash_col=h,
+                              wave_size=3, with_checksum=False)
+        rewritten = set(report["written"])  # must be exactly {0}
+        back = (load_shards(spark, sink)
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("disk_rows"),
+                     F.max("pos").alias("max_pos")))
+        rows = [(int(k), int(v)) for k, v in
+                shard_report(sink)["rows_per_shard"].items()]
+        mf = spark.createDataFrame(rows, "shard int, manifest_rows long")
+        out = (back.join(mf, "shard")
+               .select(F.col("shard").cast("int"),
+                       F.col("disk_rows").cast("long"),
+                       F.col("manifest_rows").cast("long"),
+                       F.col("max_pos").cast("long"),
+                       F.col("shard").isin([int(x) for x in rewritten])
+                        .cast("int").alias("rewritten")))
+        out = out.cache()
+        out.count()  # materialize before the tempdir vanishes
+        return out
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def q_c4_rules(spark, sf_dir):
     """C4 cleaning bundle (Raffel et al. 2020 sec 2.2) — line-level
     terminal-punct / min-words / javascript filters + document flags,
@@ -2366,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "asof_fused": q_asof_fused,
         "html_extract": q_html_extract,
+        "shard_write": q_shard_write,
     }
 
 
@@ -3883,6 +3933,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, source, n_tokens FROM c WHERE cb < 800
+        """,
+        "shard_write": r"""
+            WITH h AS (
+                SELECT doc_id, ((doc_id * 1103515245 + 12345) % 2147483648)
+                               AS hv
+                FROM documents
+            )
+            SELECT (hv % 8)::INT AS shard,
+                   count(*)::BIGINT AS disk_rows,
+                   count(*)::BIGINT AS manifest_rows,
+                   (count(*) - 1)::BIGINT AS max_pos,
+                   (CASE WHEN hv % 8 = 0 THEN 1 ELSE 0 END)::INT
+                       AS rewritten
+            FROM h GROUP BY hv % 8
         """,
         "shard_shuffle": r"""
             WITH h AS (
