@@ -133,6 +133,34 @@ def cmd_tokenize(spark, args) -> dict:
             "docs_per_sec": round(n / wall, 1), "output": args.output}
 
 
+def cmd_shard(spark, args) -> dict:
+    """Pre-tokenized corpus -> N resumable pos-sorted training shards
+    (sources/shards.py): chunk to LM windows if --chunk-size is given,
+    then write per-shard-manifest-committed parquet. Re-running with
+    the same output resumes after a kill."""
+    from feathr_spark.operators.tokens import chunk_sequences
+    from feathr_spark.sources.shards import write_shards
+
+    tok = spark.read.parquet(args.tokens)
+    t0 = time.monotonic()
+    key_hash = None
+    if args.chunk_size:
+        tok = chunk_sequences(tok, chunk_size=args.chunk_size,
+                              stride=args.stride or args.chunk_size)
+        # chunk rows are keyed (doc_id, chunk_idx): hash both so chunks
+        # of one document spread across shards
+        from pyspark.sql import functions as F
+        key_hash = F.xxhash64("doc_id", "chunk_idx", F.lit(args.seed))
+    report = write_shards(tok, args.output, n_shards=args.n_shards,
+                          key_col=args.key, seed=args.seed,
+                          hash_col=key_hash, wave_size=args.wave_size,
+                          inputs=[args.tokens])
+    wall = time.monotonic() - t0
+    return {"mode": "shard", "wall_s": round(wall, 2),
+            "output": args.output, **report["metrics"],
+            "resumed_skipped": report["skipped"][:8]}
+
+
 def cmd_curate(spark, args) -> dict:
     from feathr_spark.pipeline import curate_corpus
 
@@ -191,6 +219,19 @@ def main(argv=None) -> dict:
     pt.add_argument("--vocab-size", type=int, default=32_768)
     pt.add_argument("--min-count", type=int, default=2)
     pt.add_argument("--cpus", type=int, default=None)
+    ps = sub.add_parser("shard", **common)
+    ps.add_argument("--tokens", required=True,
+                    help="pre-tokenized table path (doc_id, tokens, n_tok, ...)")
+    ps.add_argument("--output", required=True,
+                    help="shard sink; shard=K/ dirs with _manifest.json")
+    ps.add_argument("--n-shards", type=int, default=128)
+    ps.add_argument("--chunk-size", type=int, default=None,
+                    help="optional LM chunk windowing before sharding")
+    ps.add_argument("--stride", type=int, default=None)
+    ps.add_argument("--key", default="doc_id")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--wave-size", type=int, default=None)
+    ps.add_argument("--cpus", type=int, default=None)
     for name in ("join", "materialize"):
         p = sub.add_parser(name, **common)
         p.add_argument("--fact", help="fact table path (doc_id, tokens, n_tok, source, event_ts)")
@@ -227,7 +268,8 @@ def main(argv=None) -> dict:
         spark = get_spark(cpus=cpus, app_name="corpus_features")
 
     report = {"join": cmd_join, "materialize": cmd_materialize,
-              "tokenize": cmd_tokenize, "curate": cmd_curate}[args.mode](spark, args)
+              "tokenize": cmd_tokenize, "curate": cmd_curate,
+              "shard": cmd_shard}[args.mode](spark, args)
     print(json.dumps(report))
     return report
 

@@ -122,3 +122,41 @@ def test_job_curate_mode(tmp_path, sf_dir):
     counts = [s["rows"] for s in rep["funnel"]]
     assert counts[0] == 500 and counts[-1] == rep["rows"]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_job_shard_mode(tmp_path, sf_dir):
+    """jobs CLI shard mode: tokenize first, then write resumable
+    pos-sorted shards with per-shard manifests; a second run resumes
+    (all shards committed -> nothing rewritten)."""
+    import json
+    import subprocess
+
+    tok = tmp_path / "tok"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_features.py"),
+         "tokenize", "--docs", f"{sf_dir}/documents.parquet",
+         "--output", str(tok), "--vocab-size", "200", "--cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out = tmp_path / "shards"
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "corpus_features.py"),
+           "shard", "--tokens", str(tok / "tokens"),
+           "--output", str(out), "--n-shards", "6",
+           "--chunk-size", "32", "--cpus", "4"]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["mode"] == "shard" and rep["shards_written"] == 6
+    assert rep["rows_written"] > 0
+    assert all(os.path.exists(out / f"shard={k}" / "_manifest.json")
+               for k in range(6))
+
+    # resume: everything committed, nothing rewritten
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep2["shards_written"] == 0 and rep2["shards_skipped"] == 6
