@@ -578,6 +578,29 @@ def q_knn_bruteforce(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("score", 5).alias("score"))
 
 
+def q_semantic_contamination(spark, sf_dir):
+    """Embedding-space benchmark contamination
+    (operators/similarity.py::semantic_contamination): vec_id%10==0
+    rows act as the eval set, the rest as corpus; the eval matrix is
+    broadcast and every corpus row scored in one zero-shuffle Arrow
+    pass (max cosine + nearest bench id, float64 so the
+    double-precision DuckDB cross-join oracle ranks identically;
+    ties break toward the smallest bench id in both engines).
+    Threshold 0.4 splits the synthetic corpus 14/436 with a >=1e-4
+    gap to the nearest score, so the flag is ulp-safe."""
+    from feathr_spark.operators.similarity import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 10 == 0)
+    corp = emb.where(F.col("vec_id") % 10 != 0)
+    out = semantic_contamination(corp, bench, threshold=0.4,
+                                 dtype="float64")
+    return out.select(
+        "vec_id", "bench_id",
+        F.round("max_cosine", 5).alias("max_cosine"),
+        F.col("contaminated").cast("int").alias("contaminated"))
+
+
 def q_swa_multikey(spark, sf_dir):
     """Composite (user_id, event_type) join key."""
     from feathr_spark import SWAFeature, WindowSpec, join_window_agg_features
@@ -2416,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_fused": q_asof_fused,
         "html_extract": q_html_extract,
         "shard_write": q_shard_write,
+        "semantic_contamination": q_semantic_contamination,
     }
 
 
@@ -2897,6 +2921,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(v), 4) + 0.0 AS sum_p,
                    round(avg(v), 6) + 0.0 AS avg_p
             FROM ex GROUP BY oid, pos
+        """,
+        "semantic_contamination": """
+            WITH b AS (
+                SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+                FROM embeddings WHERE vec_id % 10 = 0
+            ), c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id % 10 <> 0
+            ), s AS (
+                SELECT c.vec_id, b.bench_id,
+                       list_dot_product(cv, bv)
+                       / greatest(sqrt(list_sum(list_transform(cv, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(bv, x -> x * x))),
+                                  1e-24) AS score
+                FROM c CROSS JOIN b
+            ), r AS (
+                SELECT vec_id, bench_id, score,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, bench_id) AS rn
+                FROM s
+            )
+            SELECT vec_id, bench_id,
+                   round(score, 5) AS max_cosine,
+                   (score >= 0.4)::INT AS contaminated
+            FROM r WHERE rn = 1
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -671,3 +671,107 @@ def semantic_dedup(
                                  id_col=id_col, vec_col=vec_col, **kwargs)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# semantic benchmark contamination (embedding-space decontamination)
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: Optional[str] = None,
+    bench_vec_col: Optional[str] = None,
+    dtype: str = "float32",
+    max_bench: int = 2_000_000,
+    keep_cols: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark contamination: for every corpus row,
+    the max cosine similarity against the benchmark/eval embedding set
+    and the nearest benchmark id — the semantic complement of n-gram
+    :func:`feathr_spark.operators.corpus.contamination` (catches
+    paraphrased/reworded eval leakage that token overlap misses).
+
+    Scale shape: eval sets are bounded (⌀ 1e3–1e5 rows; ``max_bench``
+    guards the assumption), so the benchmark matrix is collected,
+    L2-normalized, and BROADCAST; the corpus — the unbounded side — is
+    scored where it sits in ONE vectorized Arrow ``mapInPandas`` pass
+    (per-batch matmul against the broadcast matrix). ZERO shuffle, no
+    corpus-scale join. For a benchmark too large to broadcast, go
+    through :func:`semantic_dedup_pairs` (LSH-bucketed) instead.
+
+    Ties on the max break toward the smallest benchmark id (the matrix
+    is collected in ascending id order and ``argmax`` takes the first
+    winner), matching a SQL ``ORDER BY score DESC, bench_id`` replay.
+    ``dtype``: float32 (default, half the matmul bandwidth) or float64
+    (bit-matches a double-precision SQL oracle).
+
+    Returns ``(id_col, bench_id, max_cosine, contaminated)``; with
+    ``keep_cols=True`` the corpus columns ride along (for direct
+    filtering — see :func:`decontaminate_semantic`).
+    """
+    np_dtype = np.float64 if dtype == "float64" else np.float32
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    rows = benchmark.select(bid, bvec).orderBy(bid).limit(max_bench + 1).collect()
+    if len(rows) > max_bench:
+        raise ValueError(
+            f"benchmark exceeds max_bench={max_bench} rows; use the "
+            "LSH-bucketed pair path (semantic_dedup_pairs) instead")
+    if not rows:
+        raise ValueError("benchmark is empty")
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    bm = np.asarray([r[1] for r in rows], dtype=np_dtype)
+    bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+    bb = spark.sparkContext.broadcast((ids, bm))
+
+    src = corpus if keep_cols else corpus.select(id_col, vec_col)
+    passthrough = [f"`{f.name}` {f.dataType.simpleString()}"
+                   for f in src.schema.fields
+                   if keep_cols or f.name != vec_col]
+    schema = ", ".join(passthrough +
+                       ["bench_id long", "max_cosine double",
+                        "contaminated boolean"])
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, bmat = bb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np_dtype)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            scores = mat @ bmat.T                     # (n, n_bench)
+            j = np.argmax(scores, axis=1)             # first max = min id
+            best = scores[np.arange(len(mat)), j].astype(np.float64)
+            out = pdf if keep_cols else pdf.drop(columns=[vec_col])
+            out = out.copy()
+            out["bench_id"] = bids[j]
+            out["max_cosine"] = best
+            out["contaminated"] = best >= threshold
+            yield out
+
+    return src.mapInPandas(_score, schema=schema)
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Corpus rows whose max benchmark cosine stays below ``threshold``
+    (ALL columns preserved, score columns dropped) — the filter twin of
+    :func:`semantic_contamination`, still one zero-shuffle pass."""
+    scored = semantic_contamination(
+        corpus, benchmark, threshold, id_col=id_col, vec_col=vec_col,
+        keep_cols=True, **kwargs)
+    return scored.where(~F.col("contaminated")) \
+                 .drop("bench_id", "max_cosine", "contaminated")

@@ -286,3 +286,59 @@ def test_multimodal_real_bmp_end_to_end(spark):
     feats = extract_features(media, feature_dim=8).toPandas()
     assert feats["decode_error"].isna().all()
     assert all(len(v) == 8 for v in feats["feature"])
+
+
+# ---------------------------------------------------------------------------
+# semantic benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination_flags_and_ties(spark):
+    import numpy as np
+    from feathr_spark.operators.similarity import (decontaminate_semantic,
+                                                   semantic_contamination)
+
+    rng = np.random.default_rng(7)
+    b0 = rng.normal(size=8); b0 /= np.linalg.norm(b0)
+    b1 = rng.normal(size=8); b1 /= np.linalg.norm(b1)
+    near = (b0 + 0.05 * rng.normal(size=8)); near /= np.linalg.norm(near)
+    # orthonormalize the span of (b0, b1) before projecting out, so
+    # far is exactly orthogonal to BOTH (b0 and b1 are not orthogonal
+    # to each other)
+    u1 = b1 - (b1 @ b0) * b0; u1 /= np.linalg.norm(u1)
+    far = rng.normal(size=8); far -= (far @ b0) * b0; far -= (far @ u1) * u1
+    far /= np.linalg.norm(far)
+    bench = spark.createDataFrame(
+        [(10, b0.tolist()), (11, b1.tolist())],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(0, near.tolist()),       # ~identical to bench 10
+         (1, far.tolist()),        # orthogonal to both
+         (2, b1.tolist())],        # exactly bench 11
+        "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r for r in
+           semantic_contamination(corpus, bench, threshold=0.95,
+                                  dtype="float64").collect()}
+    assert out[0]["bench_id"] == 10 and out[0]["contaminated"]
+    assert out[0]["max_cosine"] > 0.98
+    assert not out[1]["contaminated"] and abs(out[1]["max_cosine"]) < 1e-9
+    assert out[2]["bench_id"] == 11 and out[2]["max_cosine"] == pytest.approx(1.0)
+
+    kept = decontaminate_semantic(corpus, bench, threshold=0.95,
+                                  dtype="float64")
+    assert [r["vec_id"] for r in kept.orderBy("vec_id").collect()] == [1]
+    # all corpus columns survive the filter, including the embedding
+    assert set(kept.columns) == {"vec_id", "embedding"}
+
+
+def test_semantic_contamination_guards(spark):
+    from feathr_spark.operators.similarity import semantic_contamination
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    empty = df.where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_contamination(df, empty)
+    with pytest.raises(ValueError, match="max_bench"):
+        semantic_contamination(df, df, max_bench=0)
