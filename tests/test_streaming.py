@@ -236,3 +236,76 @@ def test_stream_asof_enrich_arg_validation(spark, src_dir, tmp_path):
     with pytest.raises(ValueError, match="exactly one"):
         stream_asof_enrich(stream, batch, ["uid"], ["uid"], "ts", "ts",
                            ["v as x"], checkpoint_dir=str(tmp_path / "c"))
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingestion with cross-batch near-dup dedup
+# ---------------------------------------------------------------------------
+
+
+def _doc(doc_id, words):
+    return (doc_id, " ".join(words))
+
+
+def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
+    """Two micro-batches: within-batch near-dups collapse to one rep,
+    a batch-2 near-dup of a batch-1 doc is dropped against the
+    materialized fingerprints, and re-running the whole stream with a
+    fresh checkpoint (an at-least-once replay of every epoch) leaves
+    the corpus unchanged (per-epoch dynamic overwrite + current-epoch
+    exclusion in the fingerprint read)."""
+    from feathr_spark.streaming import load_ingested, stream_dedup_ingest
+
+    w_a = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+           "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+    w_b = ["red", "orange", "yellow", "green", "blue", "indigo", "violet",
+           "cyan", "magenta", "maroon", "olive", "navy", "teal", "aqua",
+           "plum"]
+    w_c = ["one", "two", "three", "four", "five", "six", "seven", "eight",
+           "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+           "fifteen"]
+    w_d = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibex",
+           "jay", "kiwi", "lion", "mole", "newt", "orca"]
+    src = str(tmp_path / "docs_src")
+    schema = "doc_id string, text string"
+    # batch 1: A, near-dup of A (one word differs), B
+    spark.createDataFrame(
+        [_doc("a1", w_a), _doc("a2", w_a[:-1] + ["CHANGED"]), _doc("b1", w_b)],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: C, near-dup of B (cross-batch), D
+    spark.createDataFrame(
+        [_doc("c1", w_c), _doc("b9", w_b[:-1] + ["ALTERED"]), _doc("d1", w_d)],
+        schema).coalesce(1).write.mode("append").parquet(src)
+
+    corpus = str(tmp_path / "corpus")
+    fp = str(tmp_path / "fp")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        q = stream_dedup_ingest(
+            stream, corpus, fp, checkpoint_dir=str(tmp_path / ckpt),
+            annotate_path=str(tmp_path / "audit"))
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    got = load_ingested(spark, corpus)
+    kept_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert kept_ids == {"a1", "b1", "c1", "d1"}
+
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    byid = {r["doc_id"]: r for r in audit.collect()}
+    assert byid["a2"]["cluster_rep"] == "a1" and not byid["a2"]["keep"]
+    assert byid["b9"]["dup_of_corpus"] and not byid["b9"]["keep"]
+    assert byid["c1"]["keep"] and byid["d1"]["keep"]
+
+    # full at-least-once replay: fresh checkpoint, same sinks
+    run("ckpt2")
+    again = load_ingested(spark, corpus)
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} \
+        == {"a1", "b1", "c1", "d1"}
+    assert again.count() == 4
+    # fingerprint table mirrors the kept corpus exactly
+    fps = spark.read.parquet(fp)
+    assert {r["doc_id"] for r in fps.select("doc_id").collect()} \
+        == {"a1", "b1", "c1", "d1"}
