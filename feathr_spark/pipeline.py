@@ -35,6 +35,8 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    html_col: Optional[str] = None,
+    min_text_html_ratio: Optional[float] = None,
     languages: Sequence[str] = (),
     gopher: bool = False,
     gopher_thresholds: Optional[dict] = None,
@@ -63,6 +65,19 @@ def curate_corpus(
         return df
 
     out = note("input", docs)
+
+    if html_col is not None:
+        # raw-web entry point: extract text (and the WET-style
+        # structure metrics) before any text-based stage; row-local
+        # regex codegen, fuses into the same scan as the filters below
+        from feathr_spark.operators.extract import with_html_extraction
+        extracted = with_html_extraction(out, html_col=html_col,
+                                         text_col=text_col)
+        if min_text_html_ratio is not None:
+            extracted = extracted.where(
+                F.col("text_html_ratio") >= min_text_html_ratio)
+        out = note("extract", extracted.drop(
+            "title", "n_links", "n_tags", "text_html_ratio"))
 
     if languages:
         from feathr_spark.operators.text import detect_language

@@ -169,6 +169,8 @@ def cmd_curate(spark, args) -> dict:
     t0 = time.monotonic()
     out, report = curate_corpus(
         docs,
+        html_col=args.html_col,
+        min_text_html_ratio=args.min_text_html_ratio,
         languages=args.languages.split(",") if args.languages else (),
         gopher=args.gopher,
         gopher_thresholds={"min_words": args.min_words,
@@ -198,6 +200,12 @@ def main(argv=None) -> dict:
     pc.add_argument("--output", required=True)
     pc.add_argument("--benchmark", default=None,
                     help="eval-set table to decontaminate against (text)")
+    pc.add_argument("--html-col", default=None,
+                    help="treat this column as raw HTML: extract text first "
+                         "(overwrites the text column)")
+    pc.add_argument("--min-text-html-ratio", type=float, default=None,
+                    help="drop pages whose extracted-text/raw-html length "
+                         "ratio falls below this (boilerplate gate)")
     pc.add_argument("--languages", default="",
                     help="comma-separated language allowlist (e.g. en,de)")
     pc.add_argument("--gopher", action="store_true", default=True)

@@ -93,3 +93,29 @@ def test_c4_and_language_stages(spark):
     assert len(got) == 1
     assert "short line" not in got[0].text  # C4 line filter rewrote text
     assert "lazy dog" in got[0].text
+
+
+def test_html_entry_point(spark):
+    """html_col turns curate_corpus into a raw-web pipeline: extraction
+    runs first, the ratio gate drops boilerplate-heavy pages, and
+    downstream stages see the EXTRACTED text."""
+    pad = "<div></div>" * 40  # tag soup: huge html, tiny text
+    rows = [
+        (0, "<html><body><p>The quick brown fox jumps over the lazy dog "
+            "and keeps on running today.</p></body></html>", "a"),
+        (1, f"<html><body>{pad}<p>tiny.</p>{pad}</body></html>", "a"),
+        (2, "<html><body><p>The quick brown fox jumps over the lazy dog "
+            "and keeps on running today.</p></body></html>", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string, source string")
+    out, report = curate_corpus(docs, html_col="html",
+                                min_text_html_ratio=0.2,
+                                exact=True, track_counts=True)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 1 dropped by the ratio gate; 2 is an exact dup of 0 post-extraction
+    assert set(got) == {0}
+    assert got[0]["text"].startswith("The quick brown fox")
+    assert "<p>" not in got[0]["text"]
+    stages = [r["stage"] for r in report]
+    assert stages == ["input", "extract", "exact_dedup"]
+    assert [r["rows"] for r in report] == [3, 2, 1]
