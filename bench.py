@@ -201,15 +201,20 @@ def main() -> None:
     # iterations drops DataFrames persisted inside the queries, so every
     # iteration does the full work (plan, shuffle, kernels); only session
     # warmth (JIT, workers) carries — as on a long-lived cluster.
+    # iterations are INTERLEAVED (3 full passes over the battery, not 3
+    # back-to-back runs per query): a multi-second co-tenant burst then
+    # pollutes at most one of each query's samples instead of all three,
+    # so per-query min-of-3 picks each query's quietest era of the run
     for name in HEADLINE:
-        fn = qmap[name]
-        best = float("inf")
-        for _ in range(3):
+        timings[name] = float("inf")
+    for _ in range(3):
+        for name in HEADLINE:
             spark.catalog.clearCache()
             t0 = time.monotonic()
-            _force(fn(spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            _force(qmap[name](spark, SF_DIR))
+            timings[name] = min(timings[name], time.monotonic() - t0)
+    for name in HEADLINE:
+        timings[name] = round(timings[name], 3)
 
     flagship_sec, flagship_cold, n_obs = corpus_feature_vectors(spark, sf)
     timings["corpus_feature_vectors"] = round(flagship_sec, 3)
