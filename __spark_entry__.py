@@ -1834,6 +1834,27 @@ def q_shard_shuffle(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_quality_lottery(spark, sf_dir):
+    """GPT-3 Pareto quality lottery (Brown et al. 2020 App. A;
+    operators/selection.py::quality_lottery): keep iff
+    Pareto(9) > 1 - score, with a DETERMINISTIC inverse-CDF draw from
+    an engine-portable LCG hash so DuckDB replays the identical keep
+    set. Score is a synthetic deterministic ramp (doc_id%97)/96 —
+    the operator under test is the lottery, not the scorer."""
+    from feathr_spark.operators.selection import quality_lottery
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345),
+               F.lit(2147483648))
+    staged = docs.select(
+        "doc_id", ((F.col("doc_id") % 97) / F.lit(96.0)).alias("score"))
+    out = quality_lottery(staged, "score", alpha=9.0, hash_col=h)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"),
+        F.round("pareto_draw", 6).alias("pareto_draw"),
+        F.col("lottery_keep").cast("int").alias("lottery_keep"))
+
+
 def q_shard_write(spark, sf_dir):
     """Resumable sharded corpus writer (sources/shards.py): write the
     documents table into 8 pos-sorted shards committed by per-shard
@@ -2440,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "shard_write": q_shard_write,
         "semantic_contamination": q_semantic_contamination,
+        "quality_lottery": q_quality_lottery,
     }
 
 
@@ -3982,6 +4004,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, source, n_tokens FROM c WHERE cb < 800
+        """,
+        "quality_lottery": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id * 1103515245 + 12345) % 2147483648) AS hv,
+                       (doc_id % 97) / 96.0 AS score
+                FROM documents
+            ), d AS (
+                SELECT doc_id, score,
+                       pow((hv + 0.5) / 2147483648.0, -1.0 / 9.0) - 1.0
+                           AS draw
+                FROM h
+            )
+            SELECT doc_id,
+                   round(score, 6) AS score,
+                   round(draw, 6) AS pareto_draw,
+                   (draw > 1.0 - score)::INT AS lottery_keep
+            FROM d
         """,
         "shard_write": r"""
             WITH h AS (

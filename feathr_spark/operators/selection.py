@@ -276,3 +276,61 @@ def select_by_budget(
         return keep_hi.drop(*drop_cols).unionByName(keep_bd.drop(*drop_cols))
 
     raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# GPT-3 quality lottery (Pareto-sampled soft quality filtering)
+# ---------------------------------------------------------------------------
+
+
+def quality_lottery(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_col=None,
+    keep_col: str = "lottery_keep",
+) -> DataFrame:
+    """GPT-3's soft quality filter (Brown et al. 2020, appendix A): keep
+    a document iff ``Pareto(alpha) > 1 - score`` — high-scoring docs
+    almost always survive, low-scoring docs still enter the corpus with
+    tail probability, which preserves distributional diversity that a
+    hard threshold destroys (the published motivation).
+
+    The lottery draw is DETERMINISTIC: ``u`` comes from a hash of the
+    document id (``xxhash64(id, seed)`` by default; pass ``hash_col``
+    for an engine-portable hash when replaying in SQL), mapped to (0,1),
+    and the Pareto sample is the inverse-CDF transform
+    ``u^(-1/alpha) - 1``. Re-running, repartitioning, or resuming a
+    kill reproduces the identical keep set — ``rand()`` would not.
+
+    Pure codegen expressions, zero shuffle, appends ``keep_col``
+    (boolean) plus ``pareto_draw`` (the sample, for auditing).
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    if hash_col is None:
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
+    else:
+        h = F.pmod(hash_col, F.lit(1 << 31))
+    # (h + 0.5) / 2^31 lands strictly inside (0, 1): u=0 would blow up
+    # the inverse CDF and u=1 would make the draw exactly 0
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 31))
+    draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return (df.withColumn("pareto_draw", draw)
+              .withColumn(keep_col,
+                          F.col("pareto_draw") > (F.lit(1.0) - F.col(score_col))))
+
+
+def apply_quality_lottery(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 9.0,
+    **kwargs,
+) -> DataFrame:
+    """Filter twin of :func:`quality_lottery` — surviving rows only,
+    audit columns dropped."""
+    keep_col = kwargs.pop("keep_col", "lottery_keep")
+    out = quality_lottery(df, score_col, alpha, keep_col=keep_col, **kwargs)
+    return out.where(F.col(keep_col)).drop(keep_col, "pareto_draw")

@@ -121,3 +121,55 @@ def test_select_by_budget_zero_budget_keeps_nothing(spark):
                                 method=m).count() == 0
         assert select_by_budget(df, -5.0, "n_tokens", "score",
                                 method=m).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GPT-3 Pareto quality lottery
+# ---------------------------------------------------------------------------
+
+
+def test_quality_lottery_deterministic_and_monotone(spark):
+    from feathr_spark.operators.selection import (apply_quality_lottery,
+                                                  quality_lottery)
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 / 99.0).alias("score"))
+    out = quality_lottery(df, "score", alpha=9.0, seed=4)
+    a = {r["doc_id"]: (r["pareto_draw"], r["lottery_keep"])
+         for r in out.collect()}
+    # deterministic across re-execution and repartitioning
+    b = {r["doc_id"]: (r["pareto_draw"], r["lottery_keep"])
+         for r in quality_lottery(df.repartition(7), "score",
+                                  alpha=9.0, seed=4).collect()}
+    assert a == b
+    # draws are valid Pareto samples (positive) and the keep rule holds
+    rows = out.collect()
+    assert all(r["pareto_draw"] > 0 for r in rows)
+    for r in rows:
+        assert r["lottery_keep"] == (r["pareto_draw"] > 1.0 - r["score"])
+    # keep RATE rises with score (soft filter), but low scores still
+    # get in with tail probability and high scores aren't guaranteed-1.0
+    kept = out.where("lottery_keep")
+    lo = kept.where("score < 0.2").count() / out.where("score < 0.2").count()
+    hi = kept.where("score > 0.8").count() / out.where("score > 0.8").count()
+    assert 0 < lo < hi <= 1.0
+    # score=1.0 always survives (draw > 0 == 1 - score)
+    top = quality_lottery(
+        spark.range(50).select(F.col("id").alias("doc_id"),
+                               F.lit(1.0).alias("score")), "score")
+    assert top.where("NOT lottery_keep").count() == 0
+
+    filt = apply_quality_lottery(df, "score", alpha=9.0, seed=4)
+    assert filt.count() == kept.count()
+    assert set(filt.columns) == {"doc_id", "score"}
+
+
+def test_quality_lottery_alpha_guard(spark):
+    from feathr_spark.operators.selection import quality_lottery
+
+    df = spark.range(1).select(F.col("id").alias("doc_id"),
+                               F.lit(0.5).alias("score"))
+    with pytest.raises(ValueError):
+        quality_lottery(df, "score", alpha=0.0)
