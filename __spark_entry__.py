@@ -1834,6 +1834,20 @@ def q_shard_shuffle(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Dataset-release datacard (operators/monitor.py::corpus_datacard):
+    corpus size, word volume, exact length percentiles, per-source
+    composition shares, exact-dup rate — one scan building a skinny
+    per-doc projection, then three bounded aggregations. The oracle
+    replays every metric (incl. quantile_cont == Spark's interpolating
+    percentile, and the shared dedup normalization) in DuckDB."""
+    from feathr_spark.operators.monitor import corpus_datacard
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_datacard(docs)
+    return out.select("metric", F.round("value", 6).alias("value"))
+
+
 def q_quality_lottery(spark, sf_dir):
     """GPT-3 Pareto quality lottery (Brown et al. 2020 App. A;
     operators/selection.py::quality_lottery): keep iff
@@ -2462,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_write": q_shard_write,
         "semantic_contamination": q_semantic_contamination,
         "quality_lottery": q_quality_lottery,
+        "corpus_datacard": q_corpus_datacard,
     }
 
 
@@ -4004,6 +4019,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, source, n_tokens FROM c WHERE cb < 800
+        """,
+        "corpus_datacard": r"""
+            WITH w AS (
+                SELECT trim(regexp_replace(regexp_replace(lower(text),
+                           '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm,
+                       source
+                FROM documents
+            ), wc AS (
+                SELECT len(list_filter(regexp_split_to_array(norm, '\s+'),
+                           x -> x <> '')) AS c, norm, source
+                FROM w
+            ), g AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(c)::DOUBLE AS tw,
+                       avg(c) AS mw,
+                       quantile_cont(c, 0.5) AS p50,
+                       quantile_cont(c, 0.9) AS p90,
+                       max(c)::DOUBLE AS mx,
+                       count(DISTINCT norm)::DOUBLE AS nd
+                FROM wc
+            ), m AS (
+                SELECT 'n_docs' AS metric, n AS value FROM g
+                UNION ALL SELECT 'total_words', tw FROM g
+                UNION ALL SELECT 'mean_words', mw FROM g
+                UNION ALL SELECT 'p50_words', p50 FROM g
+                UNION ALL SELECT 'p90_words', p90 FROM g
+                UNION ALL SELECT 'max_words', mx FROM g
+                UNION ALL SELECT 'exact_dup_rate', 1.0 - nd / n FROM g
+                UNION ALL
+                SELECT 'share:' || source, count(*) / (SELECT n FROM g)
+                FROM wc GROUP BY source
+            )
+            SELECT metric, round(value, 6) AS value FROM m
         """,
         "quality_lottery": r"""
             WITH h AS (

@@ -119,3 +119,70 @@ def category_drift(
                      F.sum(F.when(F.col("__cur"), 1).otherwise(0))
                        .alias("n_cur")))
     return _psi_kl(binned, smooth, F.count(F.lit(1)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# corpus datacard (dataset-release summary report)
+# ---------------------------------------------------------------------------
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-call dataset-release summary ("datacard"): corpus size, word
+    volume, length distribution, per-source composition, and the exact
+    duplicate rate, as a tidy ``(metric string, value double)`` frame —
+    the numbers a dataset card or ingest dashboard reports.
+
+    Metrics: ``n_docs``, ``total_words``, ``mean_words``,
+    ``p50_words`` / ``p90_words`` / ``max_words`` (exact percentiles),
+    ``exact_dup_rate`` (1 − distinct normalized texts / docs — the
+    normalization shared with the dedup operators), and one
+    ``share:<source>`` row per source (fraction of docs).
+
+    Scale shape: ONE scan building a skinny per-doc projection (word
+    count, normalization hash, source — the text itself is dropped
+    before any exchange), then three bounded aggregations over it:
+    a global aggregate (scalars + exact percentiles over the word-count
+    column), a distinct count of 8-byte normalization hashes (map-side
+    partial combine), and a source-vocabulary-bounded groupBy. Output
+    is O(#sources) rows.
+    """
+    from feathr_spark.operators.text import (fingerprint, normalize_text,
+                                             token_count)
+
+    slim = track_cache(docs.select(
+        token_count(normalize_text(F.col(text_col))).alias("__wc"),
+        fingerprint(F.col(text_col)).alias("__norm"),
+        F.col(source_col).alias("__src"),
+    ).persist())
+    spark = docs.sparkSession
+
+    g = slim.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__wc").alias("total_words"),
+        F.avg("__wc").alias("mean_words"),
+        F.expr("percentile(__wc, 0.5)").alias("p50_words"),
+        F.expr("percentile(__wc, 0.9)").alias("p90_words"),
+        F.max("__wc").alias("max_words"),
+        F.countDistinct("__norm").alias("n_distinct"),
+    ).first()
+    n = g["n_docs"] or 0
+    rows = [
+        ("n_docs", float(n)),
+        ("total_words", float(g["total_words"] or 0)),
+        ("mean_words", float(g["mean_words"] or 0.0)),
+        ("p50_words", float(g["p50_words"] or 0.0)),
+        ("p90_words", float(g["p90_words"] or 0.0)),
+        ("max_words", float(g["max_words"] or 0)),
+        ("exact_dup_rate",
+         float(1.0 - g["n_distinct"] / n) if n else 0.0),
+    ]
+    if n:
+        for r in slim.groupBy("__src").count().collect():
+            rows.append((f"share:{r['__src']}", r["count"] / n))
+    slim.unpersist()
+    rows.sort()
+    return spark.createDataFrame(rows, "metric string, value double")

@@ -79,3 +79,40 @@ def test_temperature_alpha_edges(spark):
     t = {r["source"]: r for r in temperature_mixture(df, alpha=0.7).collect()}
     assert t["s1"]["p_target"] > t["s1"]["share"]
     assert t["s1"]["weight"] > 1.0 > t["s0"]["weight"]
+
+
+# ---------------------------------------------------------------------------
+# corpus datacard
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_datacard(spark):
+    from feathr_spark.operators.monitor import corpus_datacard
+
+    rows = [
+        (0, "alpha beta gamma", "web"),
+        (1, "Alpha, beta GAMMA!", "web"),      # exact dup of 0 post-norm
+        (2, "one two three four five six", "web"),
+        (3, "solo", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = {r["metric"]: r["value"] for r in corpus_datacard(docs).collect()}
+    assert card["n_docs"] == 4.0
+    assert card["total_words"] == 3 + 3 + 6 + 1
+    assert card["mean_words"] == pytest.approx(13 / 4)
+    assert card["max_words"] == 6.0
+    assert card["exact_dup_rate"] == pytest.approx(1 - 3 / 4)
+    assert card["share:web"] == pytest.approx(3 / 4)
+    assert card["share:books"] == pytest.approx(1 / 4)
+    # exact interpolating percentile over [1, 3, 3, 6]
+    assert card["p50_words"] == pytest.approx(3.0)
+    assert card["p90_words"] == pytest.approx(3 + 0.7 * 3)
+
+
+def test_corpus_datacard_empty(spark):
+    from feathr_spark.operators.monitor import corpus_datacard
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    card = {r["metric"]: r["value"] for r in corpus_datacard(docs).collect()}
+    assert card["n_docs"] == 0.0 and card["exact_dup_rate"] == 0.0
+    assert not any(m.startswith("share:") for m in card)
