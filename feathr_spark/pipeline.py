@@ -42,6 +42,8 @@ def curate_corpus(
     gopher_thresholds: Optional[dict] = None,
     c4: bool = False,
     c4_thresholds: Optional[dict] = None,
+    lottery_alpha: Optional[float] = None,
+    lottery_score_col: Optional[str] = None,
     clean_lines: bool = False,
     line_kwargs: Optional[dict] = None,
     exact: bool = True,
@@ -101,6 +103,25 @@ def curate_corpus(
                .withColumn(text_col, F.col("c4_clean_text"))
                .drop(*rule_cols))
         out = note("c4", out)
+
+    if lottery_alpha is not None:
+        # GPT-3 soft quality filter (Brown et al. 2020 App. A): keep iff
+        # Pareto(alpha) > 1 - score. Deterministic draw -> the funnel
+        # stays retry/resume-stable. Row-local, fuses into the same
+        # scan stage as the rule filters above.
+        from feathr_spark.operators.selection import apply_quality_lottery
+        from feathr_spark.operators.text import quality_score
+        if lottery_score_col is None:
+            staged = out.withColumn("__q", quality_score(F.col(text_col)))
+            out = note("quality_lottery",
+                       apply_quality_lottery(staged, "__q",
+                                             alpha=lottery_alpha,
+                                             id_col=id_col).drop("__q"))
+        else:
+            out = note("quality_lottery",
+                       apply_quality_lottery(out, lottery_score_col,
+                                             alpha=lottery_alpha,
+                                             id_col=id_col))
 
     if clean_lines:
         from feathr_spark.operators.corpus import drop_common_lines

@@ -119,3 +119,38 @@ def test_html_entry_point(spark):
     stages = [r["stage"] for r in report]
     assert stages == ["input", "extract", "exact_dedup"]
     assert [r["rows"] for r in report] == [3, 2, 1]
+
+
+def test_quality_lottery_stage(spark):
+    """lottery_alpha wires the GPT-3 soft filter into the funnel with
+    the built-in quality score; the stage is deterministic across
+    reruns and keeps high-quality docs at a higher rate."""
+    import random
+    rng = random.Random(11)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima", "the",
+             "and", "of", "to", "in", "is"]
+    rows = []
+    for i in range(300):
+        if i % 2:  # decent prose-ish docs
+            words = [rng.choice(vocab) for _ in range(60)]
+        else:      # junk: tiny + repetitive + punctuation-heavy
+            words = ["!!!", "x", "x", "!!!"]
+        rows.append((i, " ".join(words), "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out1, rep = curate_corpus(docs, exact=False, lottery_alpha=9.0,
+                              track_counts=True)
+    out2, _ = curate_corpus(docs, exact=False, lottery_alpha=9.0)
+    ids1 = {r["doc_id"] for r in out1.collect()}
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    assert ids1 == ids2                      # deterministic draw
+    assert [r["stage"] for r in rep] == ["input", "quality_lottery"]
+    kept_good = sum(1 for i in ids1 if i % 2)
+    kept_junk = sum(1 for i in ids1 if not i % 2)
+    assert kept_good / 150 > kept_junk / 150
+    # the published filter is harsh by design: score~0.83 keeps with
+    # P = (1+0.17)^-9 ~ 0.23, junk with P ~ 0.004
+    assert kept_good > 15 and kept_junk < 10
+    # audit columns do not leak into the output
+    assert set(out1.columns) == {"doc_id", "text", "source"}
