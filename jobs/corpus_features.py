@@ -22,6 +22,11 @@ Modes
                  -> exact/near-dup dedup -> decontaminate -> per-source
                  cap) over a raw documents table; emits the funnel
                  report (feathr_spark/pipeline.py).
+``shard``        pre-tokenized corpus -> N resumable pos-sorted training
+                 shards with per-shard lineage manifests; re-running
+                 resumes from committed shards.
+``report``       corpus datacard (size, word volume, percentiles,
+                 per-source shares, exact-dup rate) as one JSON.
 
 With ``--synthesize SF`` the deterministic corpus generator replaces the
 input paths (same generator at any scale — the 10^12-row cluster run
@@ -161,6 +166,23 @@ def cmd_shard(spark, args) -> dict:
             "resumed_skipped": report["skipped"][:8]}
 
 
+def cmd_report(spark, args) -> dict:
+    """Corpus datacard: the dataset-release summary over a documents
+    table (size, word volume, length percentiles, per-source shares,
+    exact-dup rate)."""
+    from feathr_spark.operators.monitor import corpus_datacard
+
+    docs = spark.read.parquet(args.docs)
+    t0 = time.monotonic()
+    card = {r["metric"]: r["value"] for r in corpus_datacard(
+        docs, text_col=args.text_col, source_col=args.source_col).collect()}
+    if args.output:
+        with open(args.output, "w") as fh:
+            json.dump(card, fh, indent=1, sort_keys=True)
+    return {"mode": "report", "wall_s": round(time.monotonic() - t0, 2),
+            "datacard": card}
+
+
 def cmd_curate(spark, args) -> dict:
     from feathr_spark.pipeline import curate_corpus
 
@@ -227,6 +249,13 @@ def main(argv=None) -> dict:
     pt.add_argument("--vocab-size", type=int, default=32_768)
     pt.add_argument("--min-count", type=int, default=2)
     pt.add_argument("--cpus", type=int, default=None)
+    pr = sub.add_parser("report", **common)
+    pr.add_argument("--docs", required=True)
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--source-col", default="source")
+    pr.add_argument("--output", default=None,
+                    help="optional path for the datacard JSON")
+    pr.add_argument("--cpus", type=int, default=None)
     ps = sub.add_parser("shard", **common)
     ps.add_argument("--tokens", required=True,
                     help="pre-tokenized table path (doc_id, tokens, n_tok, ...)")
@@ -277,7 +306,7 @@ def main(argv=None) -> dict:
 
     report = {"join": cmd_join, "materialize": cmd_materialize,
               "tokenize": cmd_tokenize, "curate": cmd_curate,
-              "shard": cmd_shard}[args.mode](spark, args)
+              "shard": cmd_shard, "report": cmd_report}[args.mode](spark, args)
     print(json.dumps(report))
     return report
 

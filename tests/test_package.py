@@ -160,3 +160,23 @@ def test_job_shard_mode(tmp_path, sf_dir):
     assert r.returncode == 0, r.stderr[-2000:]
     rep2 = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep2["shards_written"] == 0 and rep2["shards_skipped"] == 6
+
+
+def test_job_report_mode(tmp_path, sf_dir):
+    """jobs CLI report mode: documents -> datacard JSON."""
+    import json
+    import subprocess
+
+    out = tmp_path / "card.json"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_features.py"),
+         "report", "--docs", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["mode"] == "report" and rep["datacard"]["n_docs"] == 500.0
+    card = json.loads(out.read_text())
+    assert card["n_docs"] == 500.0
+    assert any(k.startswith("share:") for k in card)
