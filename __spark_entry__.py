@@ -1834,6 +1834,31 @@ def q_shard_shuffle(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_pii_cards(spark, sf_dir):
+    """Luhn-validated payment-card detection
+    (operators/corpus.py::with_card_features): card-SHAPED spans by
+    regex, VALID cards by the Luhn checksum fold — the validation a
+    regex alone cannot express. Every doc gains one valid card
+    (spaced); even doc_ids also gain a checksum-failing near-miss
+    (dashed), so shaped != valid on half the corpus. The oracle replays
+    the regex, the separator strip, the Luhn fold (list_sum over
+    doubled-every-other digits), and the <CARD> redaction length."""
+    from feathr_spark.operators.corpus import with_card_features
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" card 4539 5787 6362 1486 ok"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(" bad 4539-5787-6362-1487 end")).otherwise(F.lit("")))
+    staged = docs.select("doc_id", t.alias("text"))
+    out = with_card_features(staged)
+    return out.select(
+        "doc_id",
+        F.col("n_cards_shaped").cast("int").alias("n_cards_shaped"),
+        F.col("n_cards_valid").cast("int").alias("n_cards_valid"),
+        F.length("text").cast("long").alias("n_redacted_chars"))
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Dataset-release datacard (operators/monitor.py::corpus_datacard):
     corpus size, word volume, exact length percentiles, per-source
@@ -2477,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": q_semantic_contamination,
         "quality_lottery": q_quality_lottery,
         "corpus_datacard": q_corpus_datacard,
+        "pii_cards": q_pii_cards,
     }
 
 
@@ -4019,6 +4045,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, source, n_tokens FROM c WHERE cb < 800
+        """,
+        "pii_cards": r"""
+            WITH staged AS (
+                SELECT doc_id,
+                       text || ' card 4539 5787 6362 1486 ok'
+                       || CASE WHEN doc_id % 2 = 0
+                          THEN ' bad 4539-5787-6362-1487 end' ELSE '' END
+                           AS text
+                FROM documents
+            ), spans AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           regexp_extract_all(text,
+                               '(\b[0-9](?:[ -]?[0-9]){11,17}[0-9]\b)'),
+                           s -> regexp_replace(s, '[ -]', '', 'g')) AS ds
+                FROM staged
+            ), judged AS (
+                SELECT doc_id, text, ds,
+                       list_transform(ds, s ->
+                           CASE WHEN length(s) BETWEEN 13 AND 19 AND
+                               list_sum(list_transform(
+                                   range(1, length(s) + 1),
+                                   i -> CASE WHEN (length(s) - i) % 2 = 1
+                                        THEN CASE WHEN 2 * substring(s, i, 1)::INT > 9
+                                             THEN 2 * substring(s, i, 1)::INT - 9
+                                             ELSE 2 * substring(s, i, 1)::INT END
+                                        ELSE substring(s, i, 1)::INT END))
+                               % 10 = 0
+                           THEN 1 ELSE 0 END) AS ok
+                FROM spans
+            )
+            SELECT doc_id,
+                   len(ds)::INT AS n_cards_shaped,
+                   list_sum(ok)::INT AS n_cards_valid,
+                   length(regexp_replace(text,
+                       '\b[0-9](?:[ -]?[0-9]){11,17}[0-9]\b', '<CARD>',
+                       'g'))::BIGINT AS n_redacted_chars
+            FROM judged
         """,
         "corpus_datacard": r"""
             WITH w AS (

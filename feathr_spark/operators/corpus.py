@@ -948,3 +948,67 @@ def gopher_repetition(
     drops = (["__tc"] + [f"__top{n}" for n in top_ngram_ns]
              + [f"__cov{n}" for n in dup_ngram_ns])
     return out.drop(*drops)
+
+
+# payment-card-shaped span: 13-19 digits allowing single space/dash
+# separators; the checksum decides validity (see luhn_valid)
+CARD_RE = r"\b[0-9](?:[ -]?[0-9]){11,17}[0-9]\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a pure-digit string column (boolean; false
+    for lengths outside 13–19). Pure JVM ``aggregate`` fold — the
+    validation step that separates a real card number from 16 arbitrary
+    digits, which a regex alone cannot do."""
+    n = F.length(digits)
+
+    def d(i):
+        # Column.substr accepts Column positions (F.substring does not
+        # in every pyspark version)
+        return digits.substr(i, F.lit(1)).cast("int")
+
+    # digit at 0-based position (n - i) from the RIGHT: odd -> doubled
+    # (9-wrapped), even -> as-is; valid iff the sum is a multiple of 10
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            (n - i) % 2 == 1,
+            F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
+        ).otherwise(d(i)),
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_spans(text: Column | str, valid_only: bool = True) -> Column:
+    """Array of card digit strings found in ``text`` (separators
+    stripped); with ``valid_only`` only Luhn-passing spans survive."""
+    c = F.col(text) if isinstance(text, str) else text
+    spans = F.transform(
+        F.regexp_extract_all(c, F.lit(f"({CARD_RE})")),
+        lambda s: F.regexp_replace(s, r"[ -]", ""))
+    if valid_only:
+        spans = F.filter(spans, luhn_valid)
+    return spans
+
+
+def with_card_features(
+    df: DataFrame,
+    text_col: str = "text",
+    redact: bool = True,
+) -> DataFrame:
+    """Adds ``n_cards_shaped`` (card-shaped spans), ``n_cards_valid``
+    (Luhn-passing — the real-PII count), and with ``redact`` rewrites
+    ``text_col`` replacing every card-SHAPED span with ``<CARD>``
+    (conservative: regex replacement cannot validate per match, and a
+    16-digit near-miss is still worth scrubbing). Row-local codegen,
+    zero shuffle; composes before :func:`pii_redact` (cards first so
+    the phone pattern never eats a separated card's digit run)."""
+    c = F.col(text_col)
+    out = (df.withColumn("n_cards_shaped",
+                         F.size(card_spans(c, valid_only=False)))
+             .withColumn("n_cards_valid", F.size(card_spans(c))))
+    if redact:
+        out = out.withColumn(text_col,
+                             F.regexp_replace(c, CARD_RE, "<CARD>"))
+    return out

@@ -379,3 +379,34 @@ def test_gopher_repetition_hand_values(spark):
     assert abs(r["dup_2gram_char_frac"] - 1.0) < 1e-12
     assert all(v == 0.0 for k, v in out[5].asDict().items()
                if k.endswith("_frac"))
+
+
+# ---------------------------------------------------------------------------
+# Luhn card detection
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_card_detection(spark):
+    from feathr_spark.operators.corpus import (card_spans, luhn_valid,
+                                               with_card_features)
+
+    df = spark.createDataFrame([
+        (0, "visa 4539 5787 6362 1486 and near-miss 4539-5787-6362-1487"),
+        (1, "amex 378282246310005 short 123456789012 long noise"),
+        (2, "w1234 embedded5678digits90123 no standalone card"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_card_features(df).collect()}
+    assert out[0]["n_cards_shaped"] == 2 and out[0]["n_cards_valid"] == 1
+    assert out[0]["text"].count("<CARD>") == 2      # conservative redaction
+    assert out[1]["n_cards_shaped"] == 1            # 12 digits: not shaped
+    assert out[1]["n_cards_valid"] == 1
+    assert out[2]["n_cards_shaped"] == 0 and "<CARD>" not in out[2]["text"]
+
+    spans = df.select(card_spans("text").alias("s")).collect()
+    assert spans[0]["s"] == ["4539578763621486"]
+    assert spans[1]["s"] == ["378282246310005"]
+
+    v = spark.createDataFrame(
+        [("4539578763621486",), ("4539578763621487",), ("1234",), ("",)],
+        "d string").select(luhn_valid(F.col("d")).alias("ok")).collect()
+    assert [r["ok"] for r in v] == [True, False, False, False]
