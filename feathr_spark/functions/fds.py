@@ -55,9 +55,21 @@ CATEGORICAL = "CATEGORICAL"
 CATEGORICAL_SET = "CATEGORICAL_SET"
 DENSE_VECTOR = "DENSE_VECTOR"
 TERM_VECTOR = "TERM_VECTOR"
+# rank-2 tensors (FeaturizedDatasetUtils.tensorTypeToDataFrameSchema,
+# `FeaturizedDatasetUtils.scala:364-390`: SPARSE rank-k = parallel
+# coordinate arrays indices0..indices{k-1} + values; DENSE rank-k =
+# k-nested arrays). The reference reaches these through declared
+# TensorType configs / the FDSExtract multi-dim UDF
+# (`SQLConfigurableAnchorExtractor.scala:83-87`,
+# `FeatureTransformation.scala:87,1365-1372`).
+SPARSE_TENSOR_2D = "SPARSE_TENSOR_2D"
+DENSE_TENSOR_2D = "DENSE_TENSOR_2D"
 
 # FeaturizedDatasetUtils.TERM_VECTOR_FDS_DATA_TYPE
 FDS_SPARSE_DDL = "struct<indices0: array<string>, values: array<float>>"
+# rank-2 sparse COO layout per tensorTypeToDataFrameSchema
+FDS_SPARSE_2D_DDL = ("struct<indices0: array<string>, "
+                     "indices1: array<string>, values: array<float>>")
 
 
 def infer_feature_type(dtype: T.DataType) -> str:
@@ -73,10 +85,18 @@ def infer_feature_type(dtype: T.DataType) -> str:
     if isinstance(dtype, T.ArrayType):
         if isinstance(dtype.elementType, T.NumericType):
             return DENSE_VECTOR
+        if isinstance(dtype.elementType, T.ArrayType) and isinstance(
+                dtype.elementType.elementType, T.NumericType):
+            return DENSE_TENSOR_2D  # rank-2 dense: nested numeric arrays
         if isinstance(dtype.elementType, T.StructType) and len(
                 dtype.elementType.fields) == 2:
             return TERM_VECTOR  # grouped SWA output: array<struct<term,value>>
+        if isinstance(dtype.elementType, T.StructType) and len(
+                dtype.elementType.fields) == 3:
+            return SPARSE_TENSOR_2D  # COO rows: array<struct<d0,d1,value>>
         return CATEGORICAL_SET
+    if isinstance(dtype, T.MapType) and isinstance(dtype.valueType, T.MapType):
+        return SPARSE_TENSOR_2D  # nested term map: map<d0, map<d1, value>>
     return TERM_VECTOR  # map / anything else — the reference's default
 
 
@@ -103,6 +123,37 @@ def _sorted_sparse(entries: Column) -> Column:
     )
 
 
+def _sorted_sparse_2d(entries: Column) -> Column:
+    """Rank-2 COO ordering: entries sort lexicographically by
+    (dim0, dim1), each dimension independently applying the reference's
+    all-or-nothing term rule (FDSConversionUtils.scala:405-427 — float
+    order when EVERY term of that dimension parses as a float, else
+    lexical), then split into the three parallel FDS arrays
+    (tensorTypeToDataFrameSchema, FeaturizedDatasetUtils.scala:377-384)."""
+    num0 = F.forall(entries, lambda e: e["k0"].try_cast("float").isNotNull())
+    num1 = F.forall(entries, lambda e: e["k1"].try_cast("float").isNotNull())
+
+    def cmp_term(a: Column, b: Column, numeric: Column) -> Column:
+        fa, fb = a.try_cast("float"), b.try_cast("float")
+        as_num = (F.when(fa < fb, F.lit(-1))
+                   .when(fa > fb, F.lit(1)).otherwise(F.lit(0)))
+        as_str = (F.when(a < b, F.lit(-1))
+                   .when(a > b, F.lit(1)).otherwise(F.lit(0)))
+        return F.when(numeric, as_num).otherwise(as_str)
+
+    def cmp(a, b):
+        c0 = cmp_term(a["k0"], b["k0"], num0)
+        return F.when(c0 != 0, c0).otherwise(
+            cmp_term(a["k1"], b["k1"], num1))
+
+    ordered = F.array_sort(entries, cmp)
+    return F.struct(
+        F.transform(ordered, lambda e: e["k0"]).alias("indices0"),
+        F.transform(ordered, lambda e: e["k1"]).alias("indices1"),
+        F.transform(ordered, lambda e: e["v"]).alias("values"),
+    )
+
+
 def fds_column(col: Column, dtype: T.DataType,
                feature_type: Optional[str] = None) -> Column:
     """The FDS expression for one raw feature column (rawToFDSRow,
@@ -114,6 +165,36 @@ def fds_column(col: Column, dtype: T.DataType,
         return col.cast("float")
     if ftype == DENSE_VECTOR:
         return col.cast("array<float>")
+    if ftype == DENSE_TENSOR_2D:
+        # rank-2 dense = nested arrays (getNestArrays,
+        # FeaturizedDatasetUtils.scala:364-373,384-387)
+        return col.cast("array<array<float>>")
+    if ftype == SPARSE_TENSOR_2D:
+        if isinstance(dtype, T.MapType) and isinstance(dtype.valueType,
+                                                       T.MapType):
+            entries = F.flatten(F.transform(
+                F.map_entries(col),
+                lambda o: F.transform(
+                    F.map_entries(o["value"]),
+                    lambda i: F.struct(
+                        o["key"].cast("string").alias("k0"),
+                        i["key"].cast("string").alias("k1"),
+                        i["value"].cast("float").alias("v")))))
+        elif isinstance(dtype, T.ArrayType) and isinstance(
+                dtype.elementType, T.StructType) and len(
+                dtype.elementType.fields) == 3:
+            f0, f1, f2 = (f.name for f in dtype.elementType.fields)
+            entries = F.transform(
+                col, lambda e: F.struct(e[f0].cast("string").alias("k0"),
+                                        e[f1].cast("string").alias("k1"),
+                                        e[f2].cast("float").alias("v")))
+        else:
+            raise ValueError(
+                f"cannot encode {dtype.simpleString()} as SPARSE_TENSOR_2D "
+                f"(expected map<_,map<_,numeric>> or array<struct<d0,d1,v>>)")
+        converted = _sorted_sparse_2d(entries)
+        return F.when(col.isNull(),
+                      F.lit(None).cast(FDS_SPARSE_2D_DDL)).otherwise(converted)
     if ftype == CATEGORICAL:
         # single-term vector ([value], [1.0f]) — FDSConversionUtils.scala:340-342
         converted = F.struct(

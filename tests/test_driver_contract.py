@@ -31,9 +31,38 @@ def ddb(sf_dir):
     return con
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class mirroring what the driver's value hash is
+    sensitive to: an int column stringifies as '42' while a float one
+    gives '42.0', and DuckDB's HUGEINT (uncast sum()) lands in pandas
+    as float64 — so integer-vs-float divergence between engines breaks
+    the driver hash even when every value matches (the r3 red rows)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        if df[c].dtype == object:
+            # the driver's canonicalizer sorts columns through pandas and
+            # dies on unhashable lists — reject them here so the repo
+            # harness predicts the driver instead of under-approximating
+            # it (r3 fds_convert err). Queries must flatten or to_json
+            # array outputs.
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
+                raise AssertionError(
+                    f"top-level list/array column {c!r}: the driver "
+                    f"canonicalizer cannot sort it — flatten to scalars "
+                    f"or to_json it in the query AND the oracle")
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
         elif df[c].dtype == object:
@@ -52,8 +81,21 @@ ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     q = entrymod.queries()[name]
-    got = _canon(q(spark, sf_dir).toPandas())
-    want = _canon(ddb.execute(entrymod.oracle_sql()[name]).df())
+    got_raw = q(spark, sf_dir).toPandas()
+    want_raw = ddb.execute(entrymod.oracle_sql()[name]).df()
+    # dtype-class agreement BEFORE canonicalization: the driver's value
+    # hash distinguishes int from float (and bool from int), so the repo
+    # harness must too — this is what let the r3 HUGEINT oracle rows sail
+    # through 418 green tests and go red at the driver.
+    for c in sorted(set(got_raw.columns) & set(want_raw.columns)):
+        gc, wc = _dtype_class(got_raw[c]), _dtype_class(want_raw[c])
+        assert gc == wc, (
+            f"{name}.{c}: dtype class {gc} (spark {got_raw[c].dtype}) vs "
+            f"{wc} (oracle {want_raw[c].dtype}) — the driver hash will "
+            f"mismatch; cast both sides to the same class "
+            f"(e.g. ::BIGINT on DuckDB sum())")
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"

@@ -98,3 +98,58 @@ def test_zero_shuffle_plan(spark):
     out, _ = fds.to_fds(df, ["tv"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection
+
+
+def test_rank2_sparse_nested_map_numeric_sort(spark):
+    # both dims all-float-parseable -> numeric (dim0, dim1) COO order
+    # (per-dimension all-or-nothing rule, FDSConversionUtils.scala:405-427;
+    # layout tensorTypeToDataFrameSchema, FeaturizedDatasetUtils.scala:377-384)
+    df = spark.createDataFrame(
+        [({"2": {"10": 1.5, "3": 2.0}, "10": {"1": 3.0}},), (None,)],
+        "tv map<string,map<string,double>>")
+    out, types = fds.to_fds(df, ["tv"])
+    assert types["tv"] == fds.SPARSE_TENSOR_2D
+    rows = out.collect()
+    got = rows[0].tv
+    assert got.indices0 == ["2", "2", "10"]   # 2 < 10 numerically
+    assert got.indices1 == ["3", "10", "1"]   # within dim0=2: 3 < 10
+    assert got["values"] == [2.0, 1.5, 3.0]
+    assert rows[1].tv is None                 # null raw -> null tensor
+
+
+def test_rank2_sparse_coo_lexical_dim(spark):
+    # dim0 has a non-parseable term -> lexical; dim1 all numeric
+    df = spark.createDataFrame(
+        [([("b", "10", 1.0), ("b", "2", 2.0), ("a", "5", 3.0)],)],
+        "coo array<struct<d0:string,d1:string,v:double>>")
+    out, types = fds.to_fds(df, ["coo"])
+    assert types["coo"] == fds.SPARSE_TENSOR_2D
+    got = out.collect()[0].coo
+    assert got.indices0 == ["a", "b", "b"]
+    assert got.indices1 == ["5", "2", "10"]   # numeric: 2 < 10 within b
+    assert got["values"] == [3.0, 2.0, 1.0]
+
+
+def test_rank2_dense_nested_arrays(spark):
+    df = spark.createDataFrame([([[1.0, 2.0], [3.0, 4.0]],), (None,)],
+                               "d array<array<double>>")
+    out, types = fds.to_fds(df, ["d"])
+    assert types["d"] == fds.DENSE_TENSOR_2D
+    rows = out.collect()
+    assert rows[0].d == [[1.0, 2.0], [3.0, 4.0]]
+    assert rows[1].d is None
+    assert dict(out.dtypes)["d"] == "array<array<float>>"
+
+
+def test_rank2_bad_type_raises(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="SPARSE_TENSOR_2D"):
+        fds.to_fds(df, ["x"], feature_types={"x": fds.SPARSE_TENSOR_2D})
+
+
+def test_rank2_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([({"a": {"b": 1.0}},)],
+                               "tv map<string,map<string,double>>")
+    out, _ = fds.to_fds(df, ["tv"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # rank-2 is still a pure projection
