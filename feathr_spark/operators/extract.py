@@ -123,11 +123,18 @@ def with_html_extraction(
     html_col: str = "html",
     text_col: str = "text",
     title_col: str = "title",
+    metrics_prefix: str = "",
 ) -> DataFrame:
     """Stage extraction once per row: adds ``text_col`` (extracted
     text), ``title_col``, and the :func:`html_features` columns. The
     shared script/style/comment-stripped intermediate lives in its own
-    projection so it is computed once, not once per output column."""
+    projection so it is computed once, not once per output column.
+
+    ``metrics_prefix`` renames the structure-metric outputs
+    (``n_links``/``n_tags``/``text_html_ratio``) so a caller staging
+    extraction inside a pipeline can use collision-proof internal names
+    (e.g. ``__``) and drop exactly those, without clobbering same-named
+    input columns."""
     stripped = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col(html_col), _SCRIPT_RE, ""),
@@ -144,13 +151,13 @@ def with_html_extraction(
         staged
         .withColumn(text_col, text)
         .withColumn(title_col, html_title(F.col(html_col)))
-        .withColumn("n_links",
+        .withColumn(metrics_prefix + "n_links",
                     F.size(F.regexp_extract_all(F.col("__stripped"),
                                                 F.lit(_ANCHOR_RE), 0)))
-        .withColumn("n_tags",
+        .withColumn(metrics_prefix + "n_tags",
                     F.size(F.regexp_extract_all(F.col("__stripped"),
                                                 F.lit(_TAG_RE), 0)))
-        .withColumn("text_html_ratio",
+        .withColumn(metrics_prefix + "text_html_ratio",
                     F.when(F.length(F.col(html_col)) > 0,
                            F.length(F.col(text_col)).cast("double")
                            / F.length(F.col(html_col)))

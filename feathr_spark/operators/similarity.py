@@ -714,9 +714,23 @@ def semantic_contamination(
     ``keep_cols=True`` the corpus columns ride along (for direct
     filtering — see :func:`decontaminate_semantic`).
     """
+    from pyspark.sql import types as T
+
     np_dtype = np.float64 if dtype == "float64" else np.float32
     bid = bench_id_col or id_col
     bvec = bench_vec_col or vec_col
+    # derive the bench_id output type from the benchmark schema instead
+    # of assuming int64 — string/uuid eval-set ids are common
+    bid_type = {f.name: f.dataType for f in benchmark.schema.fields}[bid]
+    if isinstance(bid_type, T.IntegralType):
+        bid_ddl, bid_np = "long", np.int64
+    elif isinstance(bid_type, T.StringType):
+        bid_ddl, bid_np = "string", object
+    else:
+        raise ValueError(
+            f"benchmark id column {bid!r} has type "
+            f"{bid_type.simpleString()}; only integer and string ids are "
+            f"supported (cast it in the benchmark DataFrame first)")
     rows = benchmark.select(bid, bvec).orderBy(bid).limit(max_bench + 1).collect()
     if len(rows) > max_bench:
         raise ValueError(
@@ -724,7 +738,12 @@ def semantic_contamination(
             "LSH-bucketed pair path (semantic_dedup_pairs) instead")
     if not rows:
         raise ValueError("benchmark is empty")
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    bad = [r[0] for r in rows if r[1] is None or len(r[1]) != len(rows[0][1])]
+    if bad:
+        raise ValueError(
+            f"benchmark has null or ragged {bvec!r} vectors (e.g. ids "
+            f"{bad[:3]}); filter/fix them before contamination scoring")
+    ids = np.asarray([r[0] for r in rows], dtype=bid_np)
     bm = np.asarray([r[1] for r in rows], dtype=np_dtype)
     bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
     spark = corpus.sparkSession
@@ -735,7 +754,7 @@ def semantic_contamination(
                    for f in src.schema.fields
                    if keep_cols or f.name != vec_col]
     schema = ", ".join(passthrough +
-                       ["bench_id long", "max_cosine double",
+                       [f"bench_id {bid_ddl}", "max_cosine double",
                         "contaminated boolean"])
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -743,6 +762,10 @@ def semantic_contamination(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"corpus has null {vec_col!r} vectors; filter them "
+                    f"before contamination scoring")
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np_dtype)
             mat = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

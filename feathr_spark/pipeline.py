@@ -71,15 +71,23 @@ def curate_corpus(
     if html_col is not None:
         # raw-web entry point: extract text (and the WET-style
         # structure metrics) before any text-based stage; row-local
-        # regex codegen, fuses into the same scan as the filters below
+        # regex codegen, fuses into the same scan as the filters below.
+        # Internal __-prefixed names for the stage outputs so a corpus
+        # that already carries title/n_links/n_tags/text_html_ratio
+        # columns is not clobbered; the raw html column is dropped from
+        # the curated output (it served its purpose and would dominate
+        # the downstream shuffle payload otherwise).
         from feathr_spark.operators.extract import with_html_extraction
         extracted = with_html_extraction(out, html_col=html_col,
-                                         text_col=text_col)
+                                         text_col=text_col,
+                                         title_col="__title",
+                                         metrics_prefix="__")
         if min_text_html_ratio is not None:
             extracted = extracted.where(
-                F.col("text_html_ratio") >= min_text_html_ratio)
+                F.col("__text_html_ratio") >= min_text_html_ratio)
         out = note("extract", extracted.drop(
-            "title", "n_links", "n_tags", "text_html_ratio"))
+            "__title", "__n_links", "__n_tags", "__text_html_ratio",
+            html_col))
 
     if languages:
         from feathr_spark.operators.text import detect_language

@@ -19,6 +19,15 @@ commit per shard. Resume skips committed shards with a pure filter on
 the deterministic shard column; an interrupted wave is rewritten whole
 (torn output is never half-trusted). Driver work is O(#waves) actions +
 O(#shards) tiny JSON writes — never a per-shard Spark job.
+
+Storage note: manifest I/O (``_commit``/``is_committed``) and shard
+discovery go through driver-local ``os`` calls, so ``sink_path`` must be
+a filesystem the DRIVER can see POSIX-style (local disk, NFS, fuse-
+mounted object store). For raw HDFS/S3 URIs, route these checks through
+the Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs``) —
+deliberately not done here because this sandbox exercises local paths
+only; the data files themselves are written by Spark writers and work
+on any Hadoop-compatible filesystem.
 """
 
 from __future__ import annotations
@@ -66,10 +75,31 @@ def write_shards(
         raise ValueError("n_shards must be positive")
     spark = df.sparkSession
     t_run = time.monotonic()
+    # str(Column) is a stable rendering of the hash expression — enough
+    # to detect a changed hash_col between runs without serializing it
+    hash_expr = None if hash_col is None else str(hash_col)
     todo = [k for k in range(n_shards)
             if not (resume and is_committed(_shard_dir(sink_path, k)))]
     todo_set = set(todo)
     skipped = [k for k in range(n_shards) if k not in todo_set]
+    if skipped:
+        # Resume safety: committed shards were laid out by a specific
+        # (n_shards, key_col, seed, hash) assignment. Skipping them under
+        # a DIFFERENT assignment would silently produce a corpus with
+        # duplicated and missing rows — refuse instead.
+        m = read_manifest(_shard_dir(sink_path, skipped[0])) or {}
+        stale = {
+            k: (m.get(k), v)
+            for k, v in (("n_shards", n_shards), ("key_col", key_col),
+                         ("seed", seed), ("hash_expr", hash_expr))
+            if k in m and m.get(k) != v
+        }
+        if stale:
+            raise ValueError(
+                f"sink {sink_path!r} holds shards committed under a "
+                f"different assignment {stale} (manifest value, current "
+                f"value); pass resume=False to a fresh sink or rerun "
+                f"with the original parameters")
 
     sharded = shard_shuffle(df, n_shards, key_col=key_col, seed=seed,
                             hash_col=hash_col)
@@ -94,7 +124,9 @@ def write_shards(
         # verify what is DURABLE: one grouped job over the wave's written
         # bytes (count comes from parquet metadata; the checksum scan
         # reads back just this wave once)
-        back = spark.read.parquet(sink_path).where(
+        # explicit schema keeps the read valid even when the wave wrote
+        # zero rows (no shard=K dirs yet -> schema inference would fail)
+        back = spark.read.schema(part.schema).parquet(sink_path).where(
             F.col("shard").isin([int(k) for k in wave]))
         aggs = [F.count(F.lit(1)).alias("rows")]
         if with_checksum:
@@ -112,11 +144,16 @@ def write_shards(
                         if with_checksum and r is not None
                         and r["checksum"] is not None
                         else (0 if with_checksum else None))
+            # a zero-row shard gets no shard=K directory from the dynamic
+            # partition overwrite — create it so the manifest commit (and
+            # load_shards discovery) still works
+            os.makedirs(_shard_dir(sink_path, k), exist_ok=True)
             _commit(_shard_dir(sink_path, k), {
                 "partition": f"shard={k}",
                 "n_shards": n_shards,
                 "key_col": key_col,
                 "seed": seed,
+                "hash_expr": hash_expr,
                 "inputs": list(inputs),
                 "rows": n,
                 "checksum": checksum,

@@ -24,6 +24,14 @@ the stored signature table (no corpus text is ever re-read), pair
 shuffles carry ids only. At 10^12 sequences the fingerprint table is
 the only state, it lives in storage (not executor memory), and it
 grows only by kept rows.
+
+Storage note: epoch discovery (``os.path.isdir``/``os.listdir`` on
+``fp_path``) runs on the DRIVER with POSIX calls, so ``corpus_path`` /
+``fp_path`` must be driver-visible filesystems (local disk, NFS, fuse
+mount) — the same contract as :mod:`feathr_spark.sources.shards`
+manifest I/O. For raw HDFS/S3 URIs, swap these checks for the Hadoop
+FileSystem API; the Spark-written data files themselves already work on
+any Hadoop-compatible filesystem.
 """
 
 from __future__ import annotations

@@ -154,3 +154,23 @@ def test_quality_lottery_stage(spark):
     assert kept_good > 15 and kept_junk < 10
     # audit columns do not leak into the output
     assert set(out1.columns) == {"doc_id", "text", "source"}
+
+
+def test_html_stage_preserves_input_columns(spark):
+    """A corpus already carrying title/n_links/text_html_ratio columns
+    must survive the html stage untouched, and the raw html column must
+    not ride through to the curated output."""
+    rows = [
+        (0, "<html><body><p>The quick brown fox jumps over the lazy dog "
+            "and keeps on running today.</p></body></html>",
+         "a", "my title", 7, 0.99)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, html string, source string, title string, "
+              "n_links int, text_html_ratio double")
+    out, _ = curate_corpus(docs, html_col="html", min_text_html_ratio=0.2)
+    r = out.collect()[0]
+    assert r["title"] == "my title"          # user column not clobbered
+    assert r["n_links"] == 7
+    assert r["text_html_ratio"] == 0.99
+    assert "html" not in out.columns         # raw html dropped
+    assert "quick brown fox" in r["text"]    # extraction still ran

@@ -93,3 +93,39 @@ def test_load_subset_and_no_commits(spark, docs, tmp_path):
     os.makedirs(empty)
     with pytest.raises(FileNotFoundError):
         load_shards(spark, empty)
+
+
+def test_empty_shards_commit_and_report(spark, tmp_path):
+    # 3 rows into 128 shards: almost every shard is empty. Dynamic
+    # partition overwrite creates no dir for them — write_shards must
+    # still commit a manifest (rows=0) instead of crashing mid-wave.
+    sink = str(tmp_path / "sparse")
+    few = (spark.range(0, 3)
+           .select(F.concat(F.lit("d"), F.col("id").cast("string"))
+                   .alias("doc_id"), F.col("id").alias("val")))
+    report = write_shards(few, sink, n_shards=128, seed=1, wave_size=64)
+    assert sorted(report["written"]) == list(range(128))
+    assert report["metrics"]["rows_written"] == 3
+    rep = shard_report(sink)
+    assert rep["committed"] == 128 and rep["rows_total"] == 3
+    assert load_shards(spark, sink).count() == 3
+    # rerun: everything committed -> full skip, no work
+    again = write_shards(few, sink, n_shards=128, seed=1)
+    assert again["written"] == [] and len(again["skipped"]) == 128
+
+
+def test_resume_rejects_changed_parameters(spark, docs, tmp_path):
+    # committed shards under one assignment + resume under another would
+    # silently duplicate/lose rows — the writer must refuse
+    sink = str(tmp_path / "guard")
+    write_shards(docs, sink, n_shards=8, seed=3)
+    for kwargs in ({"n_shards": 16, "seed": 3},
+                   {"n_shards": 8, "seed": 4},
+                   {"n_shards": 8, "seed": 3, "key_col": "val"},
+                   {"n_shards": 8, "seed": 3,
+                    "hash_col": F.xxhash64("doc_id")}):
+        with pytest.raises(ValueError, match="different assignment"):
+            write_shards(docs, sink, **kwargs)
+    # the original parameters still resume cleanly
+    ok = write_shards(docs, sink, n_shards=8, seed=3)
+    assert ok["written"] == [] and len(ok["skipped"]) == 8

@@ -342,3 +342,40 @@ def test_semantic_contamination_guards(spark):
         semantic_contamination(df, empty)
     with pytest.raises(ValueError, match="max_bench"):
         semantic_contamination(df, df, max_bench=0)
+
+
+def test_semantic_contamination_string_ids_and_vector_guards(spark):
+    from feathr_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                                   "vec_id long, embedding array<double>")
+    # string/uuid benchmark ids: output bench_id keeps the string type
+    bench = spark.createDataFrame(
+        [("eval-b", [1.0, 0.0]), ("eval-a", [0.0, 1.0])],
+        "bench_id string, embedding array<double>")
+    out = semantic_contamination(corpus, bench, bench_id_col="bench_id",
+                                 bench_vec_col="embedding", threshold=0.9)
+    assert dict(out.dtypes)["bench_id"] == "string"
+    got = {r["vec_id"]: r["bench_id"] for r in out.collect()}
+    assert got == {0: "eval-b", 1: "eval-a"}
+
+    # unsupported id type -> clear error, not a numpy cast crash
+    bench_bad = bench.select(F.array("bench_id").alias("bench_id"),
+                             "embedding")
+    with pytest.raises(ValueError, match="only integer and string ids"):
+        semantic_contamination(corpus, bench_bad, bench_id_col="bench_id",
+                               bench_vec_col="embedding")
+
+    # null / ragged benchmark vectors -> clear error before np.stack
+    bench_null = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", None)],
+        "bench_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="null or ragged"):
+        semantic_contamination(corpus, bench_null, bench_id_col="bench_id",
+                               bench_vec_col="embedding")
+    bench_ragged = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0])],
+        "bench_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="null or ragged"):
+        semantic_contamination(corpus, bench_ragged, bench_id_col="bench_id",
+                               bench_vec_col="embedding")
