@@ -73,6 +73,40 @@ def _force(df) -> int:
     return 0
 
 
+# Cross-round noise calibration (VERDICT r3 item 4): tpch_q1 is the
+# designated canary — JVM-only, code unchanged since round 2 — so its
+# drift vs the recorded BENCH_r03 number measures HOST conditions, not
+# engine changes. A reader normalizes any cross-round comparison by the
+# canary ratio before attributing a delta to code.
+CANARY = "tpch_q1"
+CANARY_R3_SEC = 0.416  # BENCH_r03.json (judge-reproduced 0.426 min-of-3)
+
+
+def _cpu_jiffies():
+    """First /proc/stat cpu line: [user nice system idle iowait irq
+    softirq steal ...] in jiffies, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def _host_block(j0, j1, load0):
+    """Telemetry for the bench window: loadavg at both ends plus busy /
+    steal fractions from the /proc/stat delta. High busy-with-low-
+    self-usage or nonzero steal marks a co-tenant-polluted run."""
+    block = {"loadavg_start": [round(x, 2) for x in load0],
+             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+             "cpus_host": os.cpu_count()}
+    if j0 and j1 and len(j0) >= 8 and len(j1) >= 8:
+        d = [b - a for a, b in zip(j0, j1)]
+        total = sum(d) or 1
+        block["cpu_busy_frac"] = round(1.0 - (d[3] + d[4]) / total, 4)
+        block["cpu_steal_frac"] = round(d[7] / total, 6)
+    return block
+
+
 def corpus_feature_vectors(spark, sf: float) -> tuple[float, int]:
     """North-rule flagship: feature vectors per (doc_id, ts) over the
     tokenized corpus — SWA battery + as-of token lookup in one job."""
@@ -180,6 +214,7 @@ def main() -> None:
     spark = get_spark(cpus=CPUS, app_name="feathr_spark_bench")
     qmap = entry.queries()
     timings: dict[str, float] = {}
+    load0, jiff0 = os.getloadavg(), _cpu_jiffies()
 
     # warm the JVM + parquet footers + Python UDF workers so per-query
     # numbers measure the plan, not session startup (worker spawn +
@@ -220,6 +255,7 @@ def main() -> None:
     timings["corpus_feature_vectors"] = round(flagship_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    drift = round(timings[CANARY] / CANARY_R3_SEC, 3) if CANARY in timings else None
     print(json.dumps({
         "metric": "entity-timestamp feature-vector pipeline, headline ops wall time",
         "value": total,
@@ -230,6 +266,12 @@ def main() -> None:
         "flagship_rows": n_obs,
         "flagship_cold_s": round(flagship_cold, 3),
         "cpus": CPUS,
+        "host": _host_block(jiff0, _cpu_jiffies(), load0),
+        # canary drift: this-run tpch_q1 / BENCH_r03 tpch_q1. Divide any
+        # cross-round per-query ratio by this before reading it as a
+        # code regression/improvement (tpch_q1 code is frozen).
+        "canary": {"query": CANARY, "sec": timings.get(CANARY),
+                   "r3_sec": CANARY_R3_SEC, "host_drift": drift},
     }))
     spark.stop()
 

@@ -430,6 +430,128 @@ class FeathrClient:
         with open(path) as fh:
             return json.load(fh)
 
+    def search_features(self, keyword: str,
+                        project_name: str = "default") -> list:
+        """Case-insensitive substring search over the project's feature
+        names — the reference registry's
+        ``GET /projects/{p}/features?keyword=`` (sql-registry
+        main.py:127-146)."""
+        kw = keyword.lower()
+        return [n for n in self.list_registered_features(project_name)
+                if kw in n.lower()]
+
+    def get_project_lineage(self, project_name: str = "default") -> dict:
+        """Full project lineage graph from registry metadata — the
+        reference registry service's project graph
+        (sql-registry registry/db_registry.py:164-183 ``get_project``)
+        reduced to its payload: typed nodes and typed edges using the
+        reference's RelationshipType vocabulary (models.py:113-117 —
+        Contains / Consumes / Produces):
+
+        - ``anchor --Consumes--> source``
+        - ``anchor --Produces--> anchor feature``
+        - ``derived/lookup feature --Consumes--> input feature``
+        - ``project --Contains--> anchor | derived | lookup``
+
+        Returns ``{"project", "nodes": [{id, type, ...}],
+        "edges": [{from, to, type}]}``.
+        """
+        doc = self._read_registry(project_name)
+        nodes: dict[str, dict] = {}
+        edges: list[dict] = []
+
+        def node(nid: str, ntype: str, **attrs) -> str:
+            nodes.setdefault(nid, {"id": nid, "type": ntype, **attrs})
+            return nid
+
+        def edge(frm: str, to: str, etype: str) -> None:
+            edges.append({"from": frm, "to": to, "type": etype})
+
+        proj = node(f"project:{doc['project']}", "project")
+        for a in doc["anchors"]:
+            s = a["source"]
+            src = node(f"source:{s['path']}", "source",
+                       path=s["path"], fmt=s["fmt"])
+            anc = node(f"anchor:{a['name']}", "anchor", keys=a["keys"])
+            edge(proj, anc, "Contains")
+            edge(anc, src, "Consumes")
+            for f in a["features"]:
+                feat = node(f"feature:{f['name']}", "anchor_feature",
+                            kind=f["kind"])
+                edge(anc, feat, "Produces")
+        for d in doc["derived"]:
+            feat = node(f"feature:{d['name']}", "derived_feature",
+                        expr=d["expr"])
+            edge(proj, feat, "Contains")
+            for inp in d["inputs"]:
+                edge(feat, f"feature:{inp}", "Consumes")
+        for lk in doc["lookups"]:
+            feat = node(f"feature:{lk['name']}", "lookup_feature",
+                        aggregation=lk["aggregation"])
+            edge(proj, feat, "Contains")
+            edge(feat, f"feature:{lk['base_feature']}", "Consumes")
+            edge(feat, f"feature:{lk['expansion_feature']}", "Consumes")
+        return {"project": doc["project"], "nodes": list(nodes.values()),
+                "edges": edges}
+
+    def get_feature_lineage(self, feature_name: str,
+                            project_name: str = "default") -> dict:
+        """Upstream + downstream lineage subgraph of one feature — the
+        reference registry's ``GET /features/{feature}/lineage``
+        (sql-registry main.py:156-159, db_registry.py:150-162: BFS
+        upstream along Consumes, downstream along Produces). Upstream
+        here = forward-Consumes ∪ reverse-Produces closure (a feature's
+        producer anchor, that anchor's source, a derived feature's
+        inputs); downstream = the mirror image (features derived from
+        this one, anchors fed by this source)."""
+        g = self.get_project_lineage(project_name)
+        fid = f"feature:{feature_name}"
+        if fid not in {n["id"] for n in g["nodes"]}:
+            raise KeyError(f"feature {feature_name!r} not registered "
+                           f"in project {project_name!r}")
+        fwd: dict[str, list] = {}
+        rev: dict[str, list] = {}
+        for e in g["edges"]:
+            if e["type"] == "Contains":
+                continue
+            fwd.setdefault(e["from"], []).append(e)
+            rev.setdefault(e["to"], []).append(e)
+
+        def closure(start: str, up: bool) -> tuple[set, list]:
+            seen, out_edges, frontier = {start}, [], [start]
+            while frontier:
+                nxt = []
+                for nid in frontier:
+                    # upstream: what this node Consumes + what Produces it
+                    # downstream: what this node Produces(-to) + consumers
+                    step = []
+                    if up:
+                        step += [(e, e["to"]) for e in fwd.get(nid, [])
+                                 if e["type"] == "Consumes"]
+                        step += [(e, e["from"]) for e in rev.get(nid, [])
+                                 if e["type"] == "Produces"]
+                    else:
+                        step += [(e, e["to"]) for e in fwd.get(nid, [])
+                                 if e["type"] == "Produces"]
+                        step += [(e, e["from"]) for e in rev.get(nid, [])
+                                 if e["type"] == "Consumes"]
+                    for e, other in step:
+                        out_edges.append(e)
+                        if other not in seen:
+                            seen.add(other)
+                            nxt.append(other)
+                frontier = nxt
+            return seen, out_edges
+
+        up_nodes, up_edges = closure(fid, up=True)
+        dn_nodes, dn_edges = closure(fid, up=False)
+        keep = up_nodes | dn_nodes
+        uniq = {(e["from"], e["to"], e["type"]): e
+                for e in up_edges + dn_edges}
+        return {"feature": feature_name,
+                "nodes": [n for n in g["nodes"] if n["id"] in keep],
+                "edges": list(uniq.values())}
+
 
 # -- registry (de)serialization: metadata-only, no code hooks --------------
 

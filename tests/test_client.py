@@ -238,3 +238,47 @@ def test_client_offline_fds_output(spark, sf_dir):
             assert row["v_sum_1h"] is None
         else:
             assert np.isclose(row["v_sum_1h"], np.float32(want))
+
+
+def test_registry_lineage_and_search(spark, sf_dir, tmp_path):
+    """Project lineage graph + per-feature BFS mirror the reference
+    registry's /projects/{p} and /features/{f}/lineage payloads
+    (sql-registry db_registry.py:150-183, models.py:113-117)."""
+    reg = str(tmp_path / "registry")
+    c = FeathrClient(spark, registry_dir=reg)
+    c.build_features(
+        anchor_list=[_anchor(sf_dir)],
+        derived_feature_list=[
+            DerivedFeature("v_avg_like", "v_sum_1h / greatest(n_1d, 1)",
+                           inputs=("v_sum_1h", "n_1d"))])
+    c.register_features("proj_l")
+
+    # search mirrors GET /projects/{p}/features?keyword=
+    assert c.search_features("v_", "proj_l") == ["v_sum_1h", "v_avg_like"] \
+        or sorted(c.search_features("v_", "proj_l")) == ["v_avg_like", "v_sum_1h"]
+    assert c.search_features("nope", "proj_l") == []
+
+    g = c.get_project_lineage("proj_l")
+    types = {n["id"]: n["type"] for n in g["nodes"]}
+    assert types["feature:v_sum_1h"] == "anchor_feature"
+    assert types["feature:v_avg_like"] == "derived_feature"
+    assert any(t == "source" for t in types.values())
+    etypes = {(e["from"], e["to"], e["type"]) for e in g["edges"]}
+    anchor_id = next(i for i, t in types.items() if t == "anchor")
+    src_id = next(i for i, t in types.items() if t == "source")
+    assert (anchor_id, src_id, "Consumes") in etypes
+    assert (anchor_id, "feature:v_sum_1h", "Produces") in etypes
+    assert ("feature:v_avg_like", "feature:v_sum_1h", "Consumes") in etypes
+
+    # upstream of the derived feature reaches inputs -> anchor -> source
+    lin = c.get_feature_lineage("v_avg_like", "proj_l")
+    ids = {n["id"] for n in lin["nodes"]}
+    assert {"feature:v_avg_like", "feature:v_sum_1h", "feature:n_1d",
+            anchor_id, src_id} <= ids
+
+    # downstream of an anchor feature reaches the derived feature
+    lin2 = c.get_feature_lineage("v_sum_1h", "proj_l")
+    assert "feature:v_avg_like" in {n["id"] for n in lin2["nodes"]}
+
+    with pytest.raises(KeyError, match="not registered"):
+        c.get_feature_lineage("ghost", "proj_l")
