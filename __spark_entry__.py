@@ -2453,6 +2453,71 @@ def q_pq_topk_det(spark, sf_dir):
                       F.round("dist", 4).alias("dist"))
 
 
+def _corpus_versions(spark, sf_dir):
+    """Deterministic v1 -> v2 corpus mutation for the diff queries:
+    v2 drops doc_id % 11 == 0, rewrites text where doc_id % 13 == 0,
+    and adds fresh ids (doc_id + 1000000) cloned from doc_id % 17 == 0."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs
+    kept = docs.where(F.col("doc_id") % 11 != 0)
+    mutated = kept.withColumn(
+        "text", F.when(F.col("doc_id") % 13 == 0,
+                       F.concat(F.lit("v2 edit: "), F.col("text")))
+                 .otherwise(F.col("text")))
+    added = (docs.where(F.col("doc_id") % 17 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return old, mutated.unionByName(added)
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Dataset-version diff: per-doc added/removed/changed/unchanged
+    between two corpus snapshots — one full-outer hash join on id, the
+    shuffle carries (id, content hash) only
+    (operators/corpus.py::corpus_diff)."""
+    from feathr_spark.operators.corpus import corpus_diff
+
+    old, new = _corpus_versions(spark, sf_dir)
+    return corpus_diff(old, new).select("doc_id", "status")
+
+
+def q_corpus_diff_summary(spark, sf_dir):
+    """Per-source roll-up of the version diff + token-budget delta
+    (operators/corpus.py::corpus_diff_summary)."""
+    from feathr_spark.operators.corpus import corpus_diff_summary
+
+    old, new = _corpus_versions(spark, sf_dir)
+    out = corpus_diff_summary(old, new)
+    return out.select(
+        "source",
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_changed").cast("long").alias("n_changed"),
+        F.col("n_unchanged").cast("long").alias("n_unchanged"),
+        F.col("tok_old").cast("long").alias("tok_old"),
+        F.col("tok_new").cast("long").alias("tok_new"),
+        F.col("tok_delta").cast("long").alias("tok_delta"))
+
+
+def q_cluster_weights(spark, sf_dir):
+    """Repetition-aware sampling weights from exact-content cluster
+    labels: weight = 1/cluster_size, so each duplicate family carries
+    one document of probability mass
+    (operators/corpus.py::cluster_sample_weights)."""
+    from feathr_spark.operators.corpus import cluster_sample_weights
+    from feathr_spark.operators.text import normalize_text
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.min("doc_id").over(
+            Window.partitionBy(normalize_text("text"))).alias("cluster_rep"))
+    out = cluster_sample_weights(labels)
+    return out.select("doc_id", "cluster_rep",
+                      F.col("cluster_size").cast("long").alias("cluster_size"),
+                      F.round("weight", 6).alias("weight"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
     # FIRST 50 dict entries only. Round-4 window (per SURVEY §10.1 +
@@ -2598,6 +2663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "mixture_weights": q_mixture_weights,
+        # -- new in round 4 (past the cap; rotate into the r5 window) ------
+        "corpus_diff": q_corpus_diff,
+        "corpus_diff_summary": q_corpus_diff_summary,
+        "cluster_weights": q_cluster_weights,
     }
 
 
@@ -4860,5 +4929,101 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY dist, vec_id) AS rn FROM adc)
             SELECT query_id, vec_id, round(dist, 4) AS dist
             FROM top WHERE rn <= 10
+        """,
+        # Version diff: hash equality in the engine == text equality here
+        # (xxhash64 is injective modulo collisions); the v1->v2 mutation
+        # is replayed literally.
+        "corpus_diff": """
+            WITH oldv AS (SELECT doc_id, text FROM documents),
+            newv AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'v2 edit: ' || text
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 17 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM oldv o FULL JOIN newv n ON o.doc_id = n.doc_id
+        """,
+        "corpus_diff_summary": r"""
+            WITH oldv AS (
+                SELECT doc_id, text, source,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                           '\s+'), w -> w <> ''))::BIGINT AS t
+                FROM documents),
+            newv AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'v2 edit: ' || text
+                            ELSE text END AS text,
+                       source,
+                       len(list_filter(regexp_split_to_array(lower(
+                           CASE WHEN doc_id % 13 = 0 THEN 'v2 edit: ' || text
+                                ELSE text END), '\s+'), w -> w <> ''))::BIGINT AS t
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text, source,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                           '\s+'), w -> w <> ''))::BIGINT AS t
+                FROM documents WHERE doc_id % 17 = 0
+            ),
+            d AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text = n.text THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM oldv o FULL JOIN newv n ON o.doc_id = n.doc_id
+            ),
+            per_doc AS (
+                SELECT d.status, m.source AS s
+                FROM d JOIN newv m USING (doc_id) WHERE d.status <> 'removed'
+                UNION ALL
+                SELECT d.status, m.source AS s
+                FROM d JOIN oldv m USING (doc_id) WHERE d.status = 'removed'
+            ),
+            counts AS (
+                SELECT s AS source,
+                       sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+                       sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                       sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                       sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+                FROM per_doc GROUP BY s
+            ),
+            t_old AS (SELECT source, sum(t)::BIGINT AS tok_old
+                      FROM oldv GROUP BY source),
+            t_new AS (SELECT source, sum(t)::BIGINT AS tok_new
+                      FROM newv GROUP BY source)
+            SELECT source,
+                   coalesce(n_added, 0)::BIGINT AS n_added,
+                   coalesce(n_removed, 0)::BIGINT AS n_removed,
+                   coalesce(n_changed, 0)::BIGINT AS n_changed,
+                   coalesce(n_unchanged, 0)::BIGINT AS n_unchanged,
+                   coalesce(tok_old, 0)::BIGINT AS tok_old,
+                   coalesce(tok_new, 0)::BIGINT AS tok_new,
+                   (coalesce(tok_new, 0) - coalesce(tok_old, 0))::BIGINT
+                       AS tok_delta
+            FROM counts
+            FULL JOIN t_old USING (source) FULL JOIN t_new USING (source)
+        """,
+        "cluster_weights": r"""
+            WITH labels AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[^\w\s]', '', 'g'), '\s+', ' ', 'g')))
+                           AS cluster_rep
+                FROM documents
+            ),
+            sizes AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+                      FROM labels GROUP BY cluster_rep)
+            SELECT l.doc_id, l.cluster_rep, s.cluster_size,
+                   round(1.0 / s.cluster_size, 6) AS weight
+            FROM labels l JOIN sizes s USING (cluster_rep)
         """,
     }

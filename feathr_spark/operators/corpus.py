@@ -432,6 +432,114 @@ def temperature_mixture(
         (F.col("p_target") / F.col("share")).alias("weight"))
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    content_col: str | Column | None = None,
+) -> DataFrame:
+    """Per-document diff between two corpus versions: ``(id, status)``
+    with status ∈ {added, removed, changed, unchanged} — the
+    dataset-version audit an incremental refresh publishes next to its
+    datacard (which docs entered/left/mutated between snapshot v1 and
+    v2), and the input to "retrain only on what changed" pipelines.
+
+    Content equality compares ``xxhash64`` of ``content_col`` (default:
+    the raw ``text_col``; pass a Column for multi-field content, e.g.
+    ``F.struct("text", "source")``, or the pre-tokenized ``tokens``
+    array — the north-rule corpus shape diffs on token-array equality
+    for free). Scale: ONE full-outer hash join on id; the shuffle
+    carries (id, 8-byte hash) only — document payloads never move.
+    """
+    cexpr = (F.col(content_col) if isinstance(content_col, str)
+             else content_col if content_col is not None
+             else F.col(text_col))
+    o = old.select(F.col(id_col), F.xxhash64(cexpr).alias("__h_old"))
+    n = new.select(F.col(id_col), F.xxhash64(cexpr).alias("__h_new"))
+    j = o.join(n, on=id_col, how="full_outer")
+    status = (F.when(F.col("__h_old").isNull(), F.lit("added"))
+               .when(F.col("__h_new").isNull(), F.lit("removed"))
+               .when(F.col("__h_old") == F.col("__h_new"),
+                     F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    n_tok_col: str | Column | None = None,
+    content_col: str | Column | None = None,
+) -> DataFrame:
+    """Per-stratum roll-up of :func:`corpus_diff` plus the token-budget
+    delta: ``(strata, n_added, n_removed, n_changed, n_unchanged,
+    tok_old, tok_new, tok_delta)``. Strata/token metadata come from the
+    NEW version for surviving docs and the OLD version for removed ones
+    (a removed doc still belongs to its old stratum). Output is
+    #strata rows; everything upstream is the diff join + two
+    map-side-combined aggregations."""
+    ntok_of = (lambda df: (F.col(n_tok_col) if isinstance(n_tok_col, str)
+                           else n_tok_col if n_tok_col is not None
+                           else token_count(text_col)))
+    d = corpus_diff(old, new, id_col, text_col, content_col)
+    meta_new = new.select(F.col(id_col), F.col(strata_col).alias("__s"),
+                          ntok_of(new).cast("long").alias("__t"))
+    meta_old = old.select(F.col(id_col), F.col(strata_col).alias("__s"),
+                          ntok_of(old).cast("long").alias("__t"))
+    surv = (d.where(F.col("status") != "removed")
+            .join(meta_new, on=id_col))
+    gone = (d.where(F.col("status") == "removed")
+            .join(meta_old, on=id_col))
+    per_doc = surv.unionByName(gone)
+    counts = per_doc.groupBy(F.col("__s").alias(strata_col)).agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+         .alias("n_added"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+         .alias("n_removed"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+         .alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+         .alias("n_unchanged"),
+    )
+    tok_old = (meta_old.groupBy(F.col("__s").alias(strata_col))
+               .agg(F.sum("__t").alias("tok_old")))
+    tok_new = (meta_new.groupBy(F.col("__s").alias(strata_col))
+               .agg(F.sum("__t").alias("tok_new")))
+    return (counts
+            .join(tok_old, on=strata_col, how="full_outer")
+            .join(tok_new, on=strata_col, how="full_outer")
+            .select(strata_col,
+                    *[F.coalesce(c, F.lit(0)).alias(c)
+                      for c in ["n_added", "n_removed", "n_changed",
+                                "n_unchanged", "tok_old", "tok_new"]])
+            .withColumn("tok_delta", F.col("tok_new") - F.col("tok_old")))
+
+
+def cluster_sample_weights(
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_rep",
+) -> DataFrame:
+    """Repetition-aware sampling weights from any clustering labels
+    frame ``(id, cluster)`` (exact dup groups, MinHash/SemDeDup
+    clusters): ``weight = 1 / cluster_size``, so a document family that
+    survived dedup-by-annotation (rather than removal) contributes one
+    document's worth of probability mass to the sampling distribution —
+    the soft alternative to dropping duplicates (and what
+    repetition-penalized samplers consume). One map-side-combined
+    groupBy on the cluster key + one hash join back; shuffles carry
+    (cluster, count) and (id, cluster) rows only."""
+    sizes = labels.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, on=cluster_col)
+            .select(F.col(id_col), F.col(cluster_col), "cluster_size",
+                    (F.lit(1.0) / F.col("cluster_size")).alias("weight")))
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str = "source",

@@ -410,3 +410,50 @@ def test_luhn_card_detection(spark):
         [("4539578763621486",), ("4539578763621487",), ("1234",), ("",)],
         "d string").select(luhn_valid(F.col("d")).alias("ok")).collect()
     assert [r["ok"] for r in v] == [True, False, False, False]
+
+
+def test_corpus_diff_statuses(spark):
+    from feathr_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # custom content column: diff on tokens, not text
+    from pyspark.sql import functions as F
+    o2 = spark.createDataFrame([(1, [1, 2])], "doc_id long, tokens array<int>")
+    n2 = spark.createDataFrame([(1, [1, 3])], "doc_id long, tokens array<int>")
+    got2 = corpus_diff(o2, n2, content_col=F.col("tokens")).collect()
+    assert got2[0]["status"] == "changed"
+
+
+def test_corpus_diff_summary_rollup(spark):
+    from feathr_spark.operators.corpus import corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "one two", "a"), (2, "three", "a"), (3, "x y z", "b")],
+        "doc_id long, text string, source string")
+    new = spark.createDataFrame(
+        [(1, "one two", "a"), (2, "three four", "a"), (4, "w", "b")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in
+           corpus_diff_summary(old, new).collect()}
+    assert got["a"]["n_unchanged"] == 1 and got["a"]["n_changed"] == 1
+    assert got["b"]["n_removed"] == 1 and got["b"]["n_added"] == 1
+    assert got["a"]["tok_old"] == 3 and got["a"]["tok_new"] == 4
+    assert got["b"]["tok_delta"] == 1 - 3
+
+
+def test_cluster_sample_weights(spark):
+    from feathr_spark.operators.corpus import cluster_sample_weights
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+        "doc_id long, cluster_rep long")
+    got = {r["doc_id"]: r for r in cluster_sample_weights(labels).collect()}
+    assert got[1]["cluster_size"] == 3 and abs(got[2]["weight"] - 1 / 3) < 1e-9
+    assert got[4]["weight"] == 1.0 and got[5]["weight"] == 1.0
+    # total probability mass = number of families
+    assert abs(sum(r["weight"] for r in got.values()) - 3.0) < 1e-9
