@@ -491,6 +491,14 @@ class FeathrClient:
             edge(proj, feat, "Contains")
             edge(feat, f"feature:{lk['base_feature']}", "Consumes")
             edge(feat, f"feature:{lk['expansion_feature']}", "Consumes")
+        # every edge endpoint must resolve against the nodes list:
+        # derived/lookup inputs are edged by name, and a typo'd or
+        # partially-registered input would otherwise leave a dangling
+        # edge consumers cannot resolve
+        for e in edges:
+            for endpoint in (e["from"], e["to"]):
+                if endpoint not in nodes:
+                    node(endpoint, "unresolved")
         return {"project": doc["project"], "nodes": list(nodes.values()),
                 "edges": edges}
 

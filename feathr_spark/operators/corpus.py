@@ -482,14 +482,17 @@ def corpus_diff_summary(
     (a removed doc still belongs to its old stratum). Output is
     #strata rows; everything upstream is the diff join + two
     map-side-combined aggregations."""
-    ntok_of = (lambda df: (F.col(n_tok_col) if isinstance(n_tok_col, str)
-                           else n_tok_col if n_tok_col is not None
-                           else token_count(text_col)))
+    # one unbound token-count expression, applied to both frames (a
+    # frame-bound Column like old['n_tok'] would fail analysis on the
+    # other side — pass the column NAME for per-frame resolution)
+    ntok = (F.col(n_tok_col) if isinstance(n_tok_col, str)
+            else n_tok_col if n_tok_col is not None
+            else token_count(text_col))
     d = corpus_diff(old, new, id_col, text_col, content_col)
     meta_new = new.select(F.col(id_col), F.col(strata_col).alias("__s"),
-                          ntok_of(new).cast("long").alias("__t"))
+                          ntok.cast("long").alias("__t"))
     meta_old = old.select(F.col(id_col), F.col(strata_col).alias("__s"),
-                          ntok_of(old).cast("long").alias("__t"))
+                          ntok.cast("long").alias("__t"))
     surv = (d.where(F.col("status") != "removed")
             .join(meta_new, on=id_col))
     gone = (d.where(F.col("status") == "removed")

@@ -327,6 +327,11 @@ def lsh_candidate_pairs(df: DataFrame, sig_col: str = "minhash", id_col: str = "
     pairs = (
         buckets.select(F.explode(combos).alias("__p"))
         .select("__p.id_a", "__p.id_b")
+        # position combos over SORTED ids guarantee id_a <= id_b; strict
+        # inequality also excludes self-pairs when the same id appears
+        # twice in a bucket (duplicated input row) — the old self-join's
+        # id_a < id_b filter did this implicitly
+        .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not attach_sigs:

@@ -738,7 +738,11 @@ def semantic_contamination(
             "LSH-bucketed pair path (semantic_dedup_pairs) instead")
     if not rows:
         raise ValueError("benchmark is empty")
-    bad = [r[0] for r in rows if r[1] is None or len(r[1]) != len(rows[0][1])]
+    # reference length from the first NON-null vector — indexing
+    # rows[0][1] directly would TypeError when the smallest-id row is
+    # the null one, defeating this guard's purpose
+    ref_len = next((len(r[1]) for r in rows if r[1] is not None), None)
+    bad = [r[0] for r in rows if r[1] is None or len(r[1]) != ref_len]
     if bad:
         raise ValueError(
             f"benchmark has null or ragged {bvec!r} vectors (e.g. ids "

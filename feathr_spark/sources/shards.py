@@ -82,21 +82,25 @@ def write_shards(
             if not (resume and is_committed(_shard_dir(sink_path, k)))]
     todo_set = set(todo)
     skipped = [k for k in range(n_shards) if k not in todo_set]
-    if skipped:
-        # Resume safety: committed shards were laid out by a specific
-        # (n_shards, key_col, seed, hash) assignment. Skipping them under
-        # a DIFFERENT assignment would silently produce a corpus with
-        # duplicated and missing rows — refuse instead.
-        m = read_manifest(_shard_dir(sink_path, skipped[0])) or {}
+    # Resume safety: committed shards were laid out by a specific
+    # (n_shards, key_col, seed, hash) assignment. Skipping them under a
+    # DIFFERENT assignment would silently produce a corpus with
+    # duplicated and missing rows — refuse instead. EVERY skipped
+    # shard's manifest is checked (tiny driver-local JSON reads): a sink
+    # that mixes assignments — e.g. an aborted resume=False rerun over an
+    # older fully-committed sink — must not pass just because the first
+    # skipped shard happens to match the current parameters.
+    for k in skipped:
+        m = read_manifest(_shard_dir(sink_path, k)) or {}
         stale = {
-            k: (m.get(k), v)
-            for k, v in (("n_shards", n_shards), ("key_col", key_col),
-                         ("seed", seed), ("hash_expr", hash_expr))
-            if k in m and m.get(k) != v
+            key: (m.get(key), v)
+            for key, v in (("n_shards", n_shards), ("key_col", key_col),
+                           ("seed", seed), ("hash_expr", hash_expr))
+            if key in m and m.get(key) != v
         }
         if stale:
             raise ValueError(
-                f"sink {sink_path!r} holds shards committed under a "
+                f"sink {sink_path!r} shard={k} was committed under a "
                 f"different assignment {stale} (manifest value, current "
                 f"value); pass resume=False to a fresh sink or rerun "
                 f"with the original parameters")
@@ -154,6 +158,10 @@ def write_shards(
                 "key_col": key_col,
                 "seed": seed,
                 "hash_expr": hash_expr,
+                # schema recorded so load_shards can return a typed
+                # empty frame when every committed shard has 0 rows
+                # (no parquet file exists to infer from)
+                "schema_json": part.schema.json(),
                 "inputs": list(inputs),
                 "rows": n,
                 "checksum": checksum,
@@ -180,18 +188,34 @@ def load_shards(spark: SparkSession, sink_path: str,
                 shards: Optional[Sequence[int]] = None) -> DataFrame:
     """Read back committed shards only (no manifest -> the directory is
     torn output from a killed run and is ignored). ``shards`` restricts
-    to a subset (e.g. one trainer rank's assignment)."""
-    have = []
+    to a subset (e.g. one trainer rank's assignment). A sink whose
+    committed shards are ALL empty (zero-row corpus) returns a typed
+    empty frame from the manifest-recorded schema instead of crashing
+    parquet schema inference."""
+    have, manifests = [], []
     for d in sorted(os.listdir(sink_path)):
         if not d.startswith("shard="):
             continue
         k = int(d.split("=", 1)[1])
         if shards is not None and k not in set(int(s) for s in shards):
             continue
-        if is_committed(os.path.join(sink_path, d)):
-            have.append(os.path.join(sink_path, d))
+        p = os.path.join(sink_path, d)
+        m = read_manifest(p)
+        if m is not None:
+            have.append(p)
+            manifests.append(m)
     if not have:
         raise FileNotFoundError(f"no committed shards under {sink_path}")
+    if all(m.get("rows", 0) == 0 for m in manifests):
+        sj = next((m["schema_json"] for m in manifests
+                   if m.get("schema_json")), None)
+        if sj is None:
+            raise FileNotFoundError(
+                f"all committed shards under {sink_path} are empty and "
+                f"carry no recorded schema (pre-schema_json manifests)")
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(__import__("json").loads(sj))
+        return spark.createDataFrame([], schema)
     return spark.read.option("basePath", sink_path).parquet(*have)
 
 

@@ -282,3 +282,22 @@ def test_registry_lineage_and_search(spark, sf_dir, tmp_path):
 
     with pytest.raises(KeyError, match="not registered"):
         c.get_feature_lineage("ghost", "proj_l")
+
+
+def test_lineage_unresolved_inputs_get_nodes(spark, sf_dir, tmp_path):
+    """An edge to a feature no anchor/derived/lookup defines must still
+    resolve against the nodes list (type 'unresolved'), not dangle."""
+    reg = str(tmp_path / "registry")
+    c = FeathrClient(spark, registry_dir=reg)
+    c.build_features(
+        anchor_list=[_anchor(sf_dir)],
+        derived_feature_list=[
+            DerivedFeature("odd", "v_sum_1h + ghost_feature",
+                           inputs=("v_sum_1h", "ghost_feature"))])
+    c.register_features("proj_g")
+    g = c.get_project_lineage("proj_g")
+    types = {n["id"]: n["type"] for n in g["nodes"]}
+    assert types.get("feature:ghost_feature") == "unresolved"
+    ids = {n["id"] for n in g["nodes"]}
+    for e in g["edges"]:
+        assert e["from"] in ids and e["to"] in ids

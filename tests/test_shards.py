@@ -129,3 +129,31 @@ def test_resume_rejects_changed_parameters(spark, docs, tmp_path):
     # the original parameters still resume cleanly
     ok = write_shards(docs, sink, n_shards=8, seed=3)
     assert ok["written"] == [] and len(ok["skipped"]) == 8
+
+
+def test_resume_guard_checks_every_skipped_shard(spark, docs, tmp_path):
+    # a sink mixing two assignments (aborted non-resume rerun over an
+    # older fully-committed sink) must be refused even when the FIRST
+    # skipped shard happens to match the current parameters
+    import json
+    sink = str(tmp_path / "mixed")
+    write_shards(docs, sink, n_shards=4, seed=3)
+    # simulate: shard 0 recommitted under seed=4, rest still seed=3
+    p = os.path.join(sink, "shard=0", "_manifest.json")
+    m = json.load(open(p))
+    m["seed"] = 4
+    json.dump(m, open(p, "w"))
+    with pytest.raises(ValueError, match="shard=[123].*different assignment"):
+        write_shards(docs, sink, n_shards=4, seed=4)
+
+
+def test_load_all_empty_sink_returns_typed_empty(spark, tmp_path):
+    sink = str(tmp_path / "void")
+    empty = (spark.range(0).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("id").alias("val")))
+    rep = write_shards(empty, sink, n_shards=16, seed=0)
+    assert rep["metrics"]["rows_written"] == 0
+    back = load_shards(spark, sink)
+    assert back.count() == 0
+    assert set(back.columns) >= {"doc_id", "val", "shard", "pos"}

@@ -379,3 +379,18 @@ def test_semantic_contamination_string_ids_and_vector_guards(spark):
     with pytest.raises(ValueError, match="null or ragged"):
         semantic_contamination(corpus, bench_ragged, bench_id_col="bench_id",
                                bench_vec_col="embedding")
+
+
+def test_semantic_contamination_null_first_vector(spark):
+    """The null/ragged guard must fire its clear ValueError even when
+    the FIRST (smallest-id) benchmark row carries the null vector."""
+    from feathr_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame([(0, [1.0, 0.0])],
+                                   "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [("a", None), ("b", [1.0, 0.0])],
+        "bench_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="null or ragged"):
+        semantic_contamination(corpus, bench, bench_id_col="bench_id",
+                               bench_vec_col="embedding")

@@ -446,3 +446,20 @@ def test_c4_rules_branches(spark):
     # the line filter really removes only the offending lines
     assert "JavaScript" not in out[2]["c4_clean_text"]
     assert out[1]["c4_clean_text"].count("\n") == 2
+
+
+def test_lsh_pairs_no_self_pairs_on_duplicated_ids(spark):
+    """A fingerprint frame accidentally containing the same doc twice
+    must not emit (id, id) self-pairs — the old self-join's id_a < id_b
+    filter excluded them; the bucket-combination rewrite must too."""
+    from feathr_spark.operators.dedup import fingerprints, lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string")
+    fp = fingerprints(docs, "text", "doc_id", 64, 3)
+    pairs = lsh_candidate_pairs(fp, "minhash", "doc_id", 16, 4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
