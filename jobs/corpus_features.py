@@ -166,6 +166,39 @@ def cmd_shard(spark, args) -> dict:
             "resumed_skipped": report["skipped"][:8]}
 
 
+def cmd_diff(spark, args) -> dict:
+    """Corpus version audit: per-doc added/removed/changed/unchanged
+    between two snapshots (optionally written as parquet) + the
+    per-source roll-up with token-budget deltas, as one JSON report
+    (operators/corpus.py::corpus_diff/corpus_diff_summary)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from feathr_spark.operators.corpus import corpus_diff, corpus_diff_summary
+
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    ccol = F.col(args.content_col) if args.content_col else None
+    t0 = time.monotonic()
+    d = corpus_diff(old, new, id_col=args.id_col, text_col=args.text_col,
+                    content_col=ccol)
+    if args.output:
+        d.write.mode("overwrite").parquet(args.output)
+        d = spark.read.parquet(args.output)
+    totals = {r["status"]: r["n"] for r in
+              d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    summary = corpus_diff_summary(
+        old, new, id_col=args.id_col, text_col=args.text_col,
+        strata_col=args.source_col, content_col=ccol)
+    rows = [r.asDict() for r in summary.orderBy(args.source_col).collect()]
+    return {"mode": "diff", "wall_s": round(time.monotonic() - t0, 2),
+            "totals": {k: int(totals.get(k, 0)) for k in
+                       ("added", "removed", "changed", "unchanged")},
+            "per_source": rows,
+            "output": args.output}
+
+
 def cmd_report(spark, args) -> dict:
     """Corpus datacard: the dataset-release summary over a documents
     table (size, word volume, length percentiles, per-source shares,
@@ -256,6 +289,20 @@ def main(argv=None) -> dict:
     pr.add_argument("--output", default=None,
                     help="optional path for the datacard JSON")
     pr.add_argument("--cpus", type=int, default=None)
+    pd_ = sub.add_parser("diff", **common)
+    pd_.add_argument("--old", required=True,
+                     help="previous corpus snapshot (doc_id, text, source)")
+    pd_.add_argument("--new", required=True,
+                     help="current corpus snapshot")
+    pd_.add_argument("--output", default=None,
+                     help="optional path for the per-doc status parquet")
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--source-col", default="source")
+    pd_.add_argument("--content-col", default=None,
+                     help="diff on this column instead of text "
+                          "(e.g. tokens for a pre-tokenized corpus)")
+    pd_.add_argument("--cpus", type=int, default=None)
     ps = sub.add_parser("shard", **common)
     ps.add_argument("--tokens", required=True,
                     help="pre-tokenized table path (doc_id, tokens, n_tok, ...)")
@@ -306,7 +353,8 @@ def main(argv=None) -> dict:
 
     report = {"join": cmd_join, "materialize": cmd_materialize,
               "tokenize": cmd_tokenize, "curate": cmd_curate,
-              "shard": cmd_shard, "report": cmd_report}[args.mode](spark, args)
+              "shard": cmd_shard, "report": cmd_report,
+              "diff": cmd_diff}[args.mode](spark, args)
     print(json.dumps(report))
     return report
 

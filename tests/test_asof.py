@@ -180,3 +180,29 @@ def test_asof_fetch_tie_collapse(spark):
     assert out["got"].iloc[0] == out["got"].iloc[1]  # same deterministic winner
     assert out["got"].iloc[0] in ("a", "b")
     assert out["got"].isna().iloc[2]
+
+
+def test_asof_fetch_regimes_identical(spark, sf_dir):
+    """Broadcast-pairs and shuffle-hash fetch plans return identical
+    rows; broadcast_threshold=None pins the shuffle plan without the
+    pair-count job."""
+    from feathr_spark import SWAFeature, WindowSpec, asof_fetch, join_window_agg_features
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = ev.select("event_id", "user_id", "ts")
+    feats = [SWAFeature("last_ts", "LATEST", "ts", WindowSpec(7 * 86400))]
+    vec = join_window_agg_features(
+        obs, ev, ["user_id"], ["user_id"], "ts", "ts", feats,
+        obs_ts_format="timestamp", fact_ts_format="timestamp").persist()
+    vec.count()
+    args = (vec, ev, ["user_id"], ["user_id"], "last_ts", "ts",
+            ["value as last_value"])
+    a = asof_fetch(*args)                            # broadcast regime
+    b = asof_fetch(*args, broadcast_threshold=None)  # pinned shuffle
+    ka = sorted((r["event_id"], r["last_value"]) for r in a.collect())
+    kb = sorted((r["event_id"], r["last_value"]) for r in b.collect())
+    assert ka == kb and len(ka) > 0
+    # broadcast plan: the wide obs side must not exchange for the join
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    vec.unpersist()
