@@ -168,21 +168,28 @@ def _time_prefilter(obs: DataFrame, fact: DataFrame, features: Sequence[SWAFeatu
 # ---------------------------------------------------------------------------
 
 
-def _swa_union(obs: DataFrame, fact_proj: DataFrame, features, metric_col, n_keys) -> DataFrame:
+def _swa_union(obs: DataFrame, fact_proj: DataFrame, features, metric_col,
+               n_keys, salted: bool = False) -> DataFrame:
     kcols = _key_cols(n_keys)
     obs_u = obs.withColumn("__is_obs", F.lit(1))
     fact_u = fact_proj.withColumn("__is_obs", F.lit(0)).withColumn("__fact_ts", F.col("__ts"))
     unioned = obs_u.unionByName(fact_u, allowMissingColumns=True)
+    # salting (same _salt output as the cogroup path): __salt joins the
+    # window partition key, so a hot key's fragments sort/scan in
+    # parallel tasks — the window semantics stay exact because every
+    # fragment holds each fact row an observation can see exactly once
+    # (replicate: full copy per bucket; time-slice: the obs's own chunk)
+    part_cols = kcols + ["__nk"] + (["__salt"] if salted else [])
     # pin the window-stage task count (AQE would coalesce the exchange
     # into ~parallelism fat sort tasks — coarse waves, idle tail; see
-    # _swa_cogroup). HashPartitioning(kcols+__nk, b) satisfies the
+    # _swa_cogroup). HashPartitioning(part_cols, b) satisfies the
     # Window's ClusteredDistribution, so no second shuffle appears.
-    unioned = unioned.repartition(_default_buckets(obs), *kcols, "__nk")
+    unioned = unioned.repartition(_default_buckets(obs), *part_cols)
 
     out = unioned
     for f in features:
         w = (
-            Window.partitionBy(*kcols, "__nk")
+            Window.partitionBy(*part_cols)
             .orderBy("__ts")
             .rangeBetween(-(f.window.width_us + f.window.delay_us) + 1, -f.window.delay_us)
         )
@@ -843,7 +850,24 @@ def join_window_agg_features(
             raise ValueError(
                 f"custom aggregations {custom} require the cogroup strategy "
                 "(no Spark window-frame form)")
-        joined = _swa_union(obs_main, fact_proj, features, metric_col, n_keys)
+        salted = bool(hot_key_threshold) or hot_keys_df is not None
+        if salted:
+            if hot_keys_df is not None:
+                hot_keys_df = hot_keys_df.select(*[
+                    F.col(c).alias(f"__k{i}")
+                    for i, c in enumerate(hot_keys_df.columns)])
+            span_us = max((f.window.width_us + f.window.delay_us)
+                          for f in features)
+            lo_shift_us = min(0, min(f.window.delay_us for f in features))
+            slice_w = (span_us if (salt_mode in ("auto", "time_slice")
+                                   and span_us > 0) else None)
+            obs_main, fact_proj = _salt(
+                obs_main, fact_proj, n_keys, hot_key_threshold or 0,
+                salt_buckets, hot_key_method, hot_keys_df,
+                slice_width_us=slice_w, span_us=span_us,
+                lo_shift_us=lo_shift_us)
+        joined = _swa_union(obs_main, fact_proj, features, metric_col,
+                            n_keys, salted=salted)
         helper = [c for c in joined.columns if c.startswith("__")]
         joined = joined.drop(*helper)
     elif strategy == "cogroup":

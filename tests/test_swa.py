@@ -605,3 +605,37 @@ def test_rank_compressed_composite_tier_matches_span_tier():
     i1, ok1 = kernels.global_asof_indices(fc, fts, oc, ots, D)
     i2, ok2 = kernels.global_asof_indices(fc, fts * S, oc, ots * S, D * S)
     assert (ok1 == ok2).all() and (i1[ok1] == i2[ok2]).all()
+
+
+def test_salted_union_matches_unsalted_and_cogroup(spark):
+    """Round-4: the pure-JVM union path gains hot-key salting (same
+    _salt machinery as cogroup — __salt joins the window partition).
+    Parity across unsalted union / salted union (both salt modes) /
+    salted cogroup, incl. a delayed window and COUNT_DISTINCT."""
+    fact, obs = corpus(spark, sf=0.0005)
+    feats = [
+        SWAFeature("s1", "SUM", "n_tok", WindowSpec(86400)),
+        SWAFeature("a7", "AVG", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("lt", "LATEST", "n_tok", WindowSpec(7 * 86400)),
+        SWAFeature("cd", "COUNT_DISTINCT", "source", WindowSpec(7 * 86400)),
+        SWAFeature("dl", "SUM", "n_tok", WindowSpec(2 * 86400, delay=86400)),
+    ]
+    kwargs = dict(obs_keys=["doc_id"], fact_keys=["doc_id"], obs_ts="ts",
+                  fact_ts="event_ts", features=feats)
+    plain = join_window_agg_features(obs, fact, strategy="union", **kwargs) \
+        .orderBy("obs_id").toPandas()
+    for mode in ("time_slice", "replicate"):
+        salted = join_window_agg_features(
+            obs, fact, strategy="union", hot_key_threshold=50,
+            salt_buckets=4, salt_mode=mode, **kwargs) \
+            .orderBy("obs_id").toPandas()
+        for c in ("s1", "a7", "lt", "cd", "dl"):
+            assert np.allclose(plain[c].astype(float).fillna(-1),
+                               salted[c].astype(float).fillna(-1),
+                               rtol=1e-9), (mode, c)
+    cg = join_window_agg_features(obs, fact, strategy="cogroup",
+                                  hot_key_threshold=50, salt_buckets=4,
+                                  **kwargs).orderBy("obs_id").toPandas()
+    for c in ("s1", "a7", "lt", "cd", "dl"):
+        assert np.allclose(plain[c].astype(float).fillna(-1),
+                           cg[c].astype(float).fillna(-1), rtol=1e-9), c
