@@ -634,6 +634,25 @@ def q_swa_salted(spark, sf_dir):
     )
 
 
+def q_swa_salted_union(spark, sf_dir):
+    """Round-4 twin of swa_salted on the pure-JVM union strategy: the
+    salt column joins the window partition key (operators/swa.py
+    _swa_union salted=True) — same oracle, different physical plan."""
+    from feathr_spark import SWAFeature, WindowSpec
+
+    out = _swa(spark, sf_dir, [
+        SWAFeature("s", "SUM", "value", WindowSpec(3600)),
+        SWAFeature("c", "COUNT", "value", WindowSpec(3600)),
+        SWAFeature("a", "AVG", "value", WindowSpec(3600)),
+    ], strategy="union", hot_key_threshold=50, salt_buckets=4)
+    return out.select(
+        "event_id",
+        F.round("s", 4).alias("sum_1h"),
+        F.col("c").alias("cnt_1h"),
+        F.round("a", 6).alias("avg_1h"),
+    )
+
+
 def _emb_ts(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -2667,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "corpus_diff_summary": q_corpus_diff_summary,
         "cluster_weights": q_cluster_weights,
+        "swa_salted_union": q_swa_salted_union,
     }
 
 
@@ -3198,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.event_id
         """,
         "swa_salted": _SWA_BASIC_ORACLE,
+        "swa_salted_union": _SWA_BASIC_ORACLE,
         "swa_pooling": """
             WITH e AS (
                 SELECT vec_id % 50 AS k, 1700000000 + vec_id * 60 AS ts, vec_id, embedding
