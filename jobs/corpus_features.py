@@ -166,6 +166,20 @@ def cmd_shard(spark, args) -> dict:
             "resumed_skipped": report["skipped"][:8]}
 
 
+def cmd_compact(spark, args) -> dict:
+    """Small-file maintenance: rewrite a parquet dataset into
+    size-targeted (optionally range-clustered) files with an atomic
+    swap (sources/compact.py)."""
+    from feathr_spark.sources.compact import compact_parquet
+
+    rep = compact_parquet(
+        spark, args.path, target_file_mb=args.target_file_mb,
+        sort_by=[c for c in args.sort_by.split(",") if c],
+        partition_by=[c for c in args.partition_by.split(",") if c],
+        compression=args.compression)
+    return {"mode": "compact", **rep}
+
+
 def cmd_diff(spark, args) -> dict:
     """Corpus version audit: per-doc added/removed/changed/unchanged
     between two snapshots (optionally written as parquet) + the
@@ -289,6 +303,16 @@ def main(argv=None) -> dict:
     pr.add_argument("--output", default=None,
                     help="optional path for the datacard JSON")
     pr.add_argument("--cpus", type=int, default=None)
+    pk = sub.add_parser("compact", **common)
+    pk.add_argument("--path", required=True,
+                    help="parquet dataset directory to compact in place")
+    pk.add_argument("--target-file-mb", type=int, default=256)
+    pk.add_argument("--sort-by", default="",
+                    help="comma-separated columns to range-cluster files by")
+    pk.add_argument("--partition-by", default="",
+                    help="comma-separated directory-partition columns to keep")
+    pk.add_argument("--compression", default=None)
+    pk.add_argument("--cpus", type=int, default=None)
     pd_ = sub.add_parser("diff", **common)
     pd_.add_argument("--old", required=True,
                      help="previous corpus snapshot (doc_id, text, source)")
@@ -354,7 +378,7 @@ def main(argv=None) -> dict:
     report = {"join": cmd_join, "materialize": cmd_materialize,
               "tokenize": cmd_tokenize, "curate": cmd_curate,
               "shard": cmd_shard, "report": cmd_report,
-              "diff": cmd_diff}[args.mode](spark, args)
+              "diff": cmd_diff, "compact": cmd_compact}[args.mode](spark, args)
     print(json.dumps(report))
     return report
 
