@@ -2517,6 +2517,18 @@ def q_corpus_diff_summary(spark, sf_dir):
         F.col("tok_delta").cast("long").alias("tok_delta"))
 
 
+def q_temporal_split(spark, sf_dir):
+    """Embargoed temporal train/val split over events: train strictly
+    before val_start - embargo, val at/after val_start, a 2-day embargo
+    gap absorbing windowed-feature look-ahead
+    (operators/corpus.py::temporal_split). Pure projection."""
+    from feathr_spark.operators.corpus import temporal_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_split(ev, "ts", "2024-01-20", embargo=2 * 86400.0)
+    return out.select("event_id", "split")
+
+
 def q_cluster_weights(spark, sf_dir):
     """Repetition-aware sampling weights from exact-content cluster
     labels: weight = 1/cluster_size, so each duplicate family carries
@@ -2687,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_summary": q_corpus_diff_summary,
         "cluster_weights": q_cluster_weights,
         "swa_salted_union": q_swa_salted_union,
+        "temporal_split": q_temporal_split,
     }
 
 
@@ -5031,6 +5044,16 @@ def oracle_sql() -> dict[str, str]:
                        AS tok_delta
             FROM counts
             FULL JOIN t_old USING (source) FULL JOIN t_new USING (source)
+        """,
+        "temporal_split": """
+            SELECT event_id,
+                   CASE WHEN ts IS NULL THEN 'embargo'
+                        WHEN epoch(ts) < epoch(TIMESTAMP '2024-01-20')
+                             - 172800.0 THEN 'train'
+                        WHEN epoch(ts) >= epoch(TIMESTAMP '2024-01-20')
+                             THEN 'val'
+                        ELSE 'embargo' END AS split
+            FROM events
         """,
         "cluster_weights": r"""
             WITH labels AS (

@@ -399,6 +399,44 @@ def leakage_safe_split(
     return df.withColumn("split", side)
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    val_start,
+    embargo: float = 0.0,
+) -> DataFrame:
+    """Time-based train/val split with an EMBARGO gap — the temporal
+    complement of :func:`leakage_safe_split` (which is content-atomic):
+    rows strictly before ``val_start - embargo`` are 'train', rows at or
+    after ``val_start`` are 'val', and rows inside the embargo window
+    are 'embargo' (excluded from both sides). The embargo absorbs
+    look-ahead leakage through windowed features: a training row at
+    t < val_start - embargo cannot share any sliding window of width
+    <= embargo with a validation row — set ``embargo`` to the widest
+    feature window (+ max delay) of the pipeline (the same
+    ``(t - w - d, t - d]`` arithmetic the SWA fact prefilter uses).
+    Adds ``split``; pure projection, zero shuffle, null ts -> 'embargo'
+    (never silently lands in train or val).
+    """
+    if embargo < 0:
+        raise ValueError("embargo must be >= 0")
+    from pyspark.sql import types as T
+    dt = {f.name: f.dataType for f in df.schema.fields}.get(ts_col)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # normalize to epoch seconds so the embargo (seconds) subtracts
+        # cleanly; val_start may be a string/datetime literal
+        t = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+        v = F.unix_micros(F.lit(val_start).cast("timestamp")) / F.lit(1e6)
+    else:
+        t = F.col(ts_col)
+        v = F.lit(val_start)
+    side = (F.when(t.isNull(), F.lit("embargo"))
+             .when(t < v - F.lit(embargo), F.lit("train"))
+             .when(t >= v, F.lit("val"))
+             .otherwise(F.lit("embargo")))
+    return df.withColumn("split", side)
+
+
 def temperature_mixture(
     df: DataFrame,
     strata_col: str = "source",

@@ -457,3 +457,41 @@ def test_cluster_sample_weights(spark):
     assert got[4]["weight"] == 1.0 and got[5]["weight"] == 1.0
     # total probability mass = number of families
     assert abs(sum(r["weight"] for r in got.values()) - 3.0) < 1e-9
+
+
+def test_temporal_split_embargo(spark):
+    from feathr_spark.operators.corpus import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 170.0), (3, 199.9), (4, 200.0), (5, 250.0),
+         (6, None)],
+        "id long, ts double")
+    got = {r["id"]: r["split"] for r in
+           temporal_split(df, "ts", 200.0, embargo=30.0).collect()}
+    assert got == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "val", 5: "val", 6: "embargo"}
+    # zero embargo: boundary row goes to val, just-before goes to train
+    got0 = {r["id"]: r["split"] for r in
+            temporal_split(df, "ts", 200.0).collect()}
+    assert got0[3] == "train" and got0[4] == "val"
+    # the leakage property: with embargo >= window width w, no train
+    # row can fall inside any val row's window (t_val - w, t_val]
+    w = 30.0
+    rows = temporal_split(df, "ts", 200.0, embargo=w).collect()
+    train_ts = [r["ts"] for r in rows if r["split"] == "train"]
+    val_ts = [r["ts"] for r in rows if r["split"] == "val"]
+    for tv in val_ts:
+        for tt in train_ts:
+            assert not (tv - w < tt <= tv)
+    # timestamp-typed column path
+    ev = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (2, "2024-01-19 12:00:00"),
+         (3, "2024-01-21 00:00:00")],
+        "id long, ts string").select(
+        "id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    gt = {r["id"]: r["split"] for r in
+          temporal_split(ev, "ts", "2024-01-20", embargo=86400.0).collect()}
+    assert gt == {1: "train", 2: "embargo", 3: "val"}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="embargo"):
+        temporal_split(df, "ts", 200.0, embargo=-1)
