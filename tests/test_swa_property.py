@@ -237,3 +237,50 @@ def test_pooling_matches_brute_force(spark, fact, obs, width):
                 assert v is not None and len(v) == len(w) and all(
                     math.isclose(float(a), float(b), rel_tol=1e-9)
                     for a, b in zip(v, w)), ctx
+
+
+# ---------------------------------------------------------------------------
+# salted variants (round 4): every key forced hot — the entire dataset
+# runs through the salt machinery on BOTH strategies and both salt modes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy,salt_mode",
+                         [("union", "time_slice"), ("union", "replicate"),
+                          ("cogroup", "time_slice"), ("cogroup", "replicate")])
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fact=fact_rows, obs=obs_rows, win=windows)
+def test_salted_swa_matches_brute_force(spark, strategy, salt_mode,
+                                        fact, obs, win):
+    width, delay = win
+    obs_df = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(obs)],
+        "obs_id long, k string, ts double")
+    fact_df = spark.createDataFrame(
+        [(k, float(ts), float(v), c) for (k, ts, v, c) in fact],
+        "k string, ts double, v double, cat string")
+    hot = spark.createDataFrame([(k,) for k in FACT_KEYS], "k string")
+    feats = [
+        SWAFeature("s", "SUM", "v", WindowSpec(width, delay)),
+        SWAFeature("n", "COUNT", "v", WindowSpec(width, delay)),
+        SWAFeature("mx", "MAX", "v", WindowSpec(width, delay)),
+        SWAFeature("lt", "LATEST", "v", WindowSpec(width, delay)),
+        SWAFeature("cd", "COUNT_DISTINCT", "cat", WindowSpec(width, delay)),
+    ]
+    got = {r["obs_id"]: r for r in join_window_agg_features(
+        obs_df, fact_df, ["k"], ["k"], "ts", "ts", feats,
+        strategy=strategy, hot_keys_df=hot, salt_buckets=3,
+        salt_mode=salt_mode).collect()}
+    for want in brute_force(obs, fact, width, delay):
+        g = got[want["obs_id"]]
+        for name in ("s", "n", "mx", "lt", "cd"):
+            w, v = want[name], g[name]
+            ctx = (f"obs {want['obs_id']} {name} ({strategy}/{salt_mode}, "
+                   f"w={width} d={delay}): want {w} got {v}\n"
+                   f"obs={obs}\nfact={fact}")
+            if w is None:
+                assert v is None, ctx
+            else:
+                assert v is not None and math.isclose(float(v), float(w),
+                                                      rel_tol=1e-9), ctx
