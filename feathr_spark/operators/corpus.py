@@ -560,6 +560,23 @@ def corpus_diff_summary(
             .withColumn("tok_delta", F.col("tok_new") - F.col("tok_old")))
 
 
+def schema_diff(old: DataFrame, new: DataFrame) -> dict:
+    """Schema delta between two dataset versions — the metadata half of
+    the version audit next to :func:`corpus_diff`'s row-level half:
+    ``{added: {col: type}, removed: {col: type}, retyped: {col: (old,
+    new)}, unchanged: [cols]}``. Pure driver-side metadata (no job);
+    types compared as Catalyst simpleStrings, so nested
+    struct/array/map changes surface too."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    return {
+        "added": {c: n[c] for c in n if c not in o},
+        "removed": {c: o[c] for c in o if c not in n},
+        "retyped": {c: (o[c], n[c]) for c in o if c in n and o[c] != n[c]},
+        "unchanged": sorted(c for c in o if c in n and o[c] == n[c]),
+    }
+
+
 def cluster_sample_weights(
     labels: DataFrame,
     id_col: str = "doc_id",

@@ -189,7 +189,9 @@ def cmd_diff(spark, args) -> dict:
 
     from pyspark.sql import functions as F
 
-    from feathr_spark.operators.corpus import corpus_diff, corpus_diff_summary
+    from feathr_spark.operators.corpus import (corpus_diff,
+                                               corpus_diff_summary,
+                                               schema_diff)
 
     old = spark.read.parquet(args.old)
     new = spark.read.parquet(args.new)
@@ -210,6 +212,7 @@ def cmd_diff(spark, args) -> dict:
             "totals": {k: int(totals.get(k, 0)) for k in
                        ("added", "removed", "changed", "unchanged")},
             "per_source": rows,
+            "schema": schema_diff(old, new),
             "output": args.output}
 
 

@@ -495,3 +495,17 @@ def test_temporal_split_embargo(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="embargo"):
         temporal_split(df, "ts", 200.0, embargo=-1)
+
+
+def test_schema_diff(spark):
+    from feathr_spark.operators.corpus import schema_diff
+
+    old = spark.createDataFrame(
+        [], "doc_id long, text string, tokens array<int>, n int")
+    new = spark.createDataFrame(
+        [], "doc_id long, text string, tokens array<bigint>, src string")
+    d = schema_diff(old, new)
+    assert d["added"] == {"src": "string"}
+    assert d["removed"] == {"n": "int"}
+    assert d["retyped"] == {"tokens": ("array<int>", "array<bigint>")}
+    assert d["unchanged"] == ["doc_id", "text"]
