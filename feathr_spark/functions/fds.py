@@ -75,7 +75,10 @@ FDS_SPARSE_2D_DDL = ("struct<indices0: array<string>, "
 def infer_feature_type(dtype: T.DataType) -> str:
     """FeaturizedDatasetUtils.inferFeatureTypeFromColumnDataType
     (`FeaturizedDatasetUtils.scala:209-221`), extended with the grouped
-    SWA ``array<struct>`` shape that convertSWADFToFDS receives."""
+    SWA ``array<struct>`` shape that convertSWADFToFDS receives.
+    Since r4, 3-field ``array<struct>`` columns whose third field is
+    NUMERIC infer as SPARSE_TENSOR_2D; all other 3-field structs keep
+    the original CATEGORICAL_SET inference."""
     if isinstance(dtype, T.BooleanType):
         return BOOLEAN
     if isinstance(dtype, T.NumericType):
@@ -91,9 +94,15 @@ def infer_feature_type(dtype: T.DataType) -> str:
         if isinstance(dtype.elementType, T.StructType) and len(
                 dtype.elementType.fields) == 2:
             return TERM_VECTOR  # grouped SWA output: array<struct<term,value>>
-        if isinstance(dtype.elementType, T.StructType) and len(
-                dtype.elementType.fields) == 3:
-            return SPARSE_TENSOR_2D  # COO rows: array<struct<d0,d1,value>>
+        if (isinstance(dtype.elementType, T.StructType)
+                and len(dtype.elementType.fields) == 3
+                and isinstance(dtype.elementType.fields[2].dataType,
+                               T.NumericType)):
+            # COO rows: array<struct<d0,d1,value>> — only when the third
+            # field is numeric (a non-numeric value field would cast to
+            # all-null tensor values; such structs stay CATEGORICAL_SET,
+            # the pre-rank-2 inference)
+            return SPARSE_TENSOR_2D
         return CATEGORICAL_SET
     if isinstance(dtype, T.MapType) and isinstance(dtype.valueType, T.MapType):
         return SPARSE_TENSOR_2D  # nested term map: map<d0, map<d1, value>>

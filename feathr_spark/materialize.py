@@ -32,7 +32,6 @@ commit protocol adds no shuffle and no driver data collection.
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -40,6 +39,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feathr_spark import fsio
 from feathr_spark.definitions import MICROS, SWAFeature
 from feathr_spark.functions.timestamps import to_epoch_micros
 
@@ -211,27 +211,30 @@ def order_independent_checksum(df: DataFrame) -> int:
 
 def _manifest_path(part_dir: str) -> str:
     # underscore prefix: Spark/Hadoop readers skip _-prefixed files, so
-    # the manifest can live inside the partition dir it commits
-    return os.path.join(part_dir, "_manifest.json")
+    # the manifest can live inside the partition dir it commits.
+    # URI-style join (not os.path.join) so hdfs://... sinks work.
+    return part_dir.rstrip("/") + "/_manifest.json"
 
 
 def is_committed(part_dir: str) -> bool:
-    return os.path.exists(_manifest_path(part_dir))
+    """Manifest existence check on the SINK filesystem (Hadoop FS API —
+    hdfs/s3a/file all work; reference analogue offline/util/HdfsUtils)."""
+    return fsio.exists(_manifest_path(part_dir))
 
 
 def read_manifest(part_dir: str) -> Optional[dict]:
     p = _manifest_path(part_dir)
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(fsio.read_text(p))
 
 
 def _commit(part_dir: str, manifest: dict) -> None:
-    tmp = _manifest_path(part_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, _manifest_path(part_dir))  # atomic on POSIX
+    # tmp + rename through the Hadoop FS layer: readers never observe a
+    # torn manifest; a crash mid-commit leaves the partition uncommitted
+    # (rewritten whole on resume), never half-trusted
+    fsio.write_text_atomic(_manifest_path(part_dir),
+                           json.dumps(manifest, indent=1, sort_keys=True))
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +277,7 @@ def materialize(
     t_run = time.monotonic()
     todo, skipped = [], []
     for cutoff in backfill.cutoffs():
-        part_dir = os.path.join(sink_path, f"cutoff={cutoff}")
+        part_dir = sink_path.rstrip("/") + f"/cutoff={cutoff}"
         if resume and is_committed(part_dir):
             skipped.append(cutoff)
         else:
@@ -335,9 +338,10 @@ def load_materialized(spark: SparkSession, sink_path: str) -> DataFrame:
     """Read back every *committed* partition (uncommitted dirs — no
     manifest — are ignored, so readers never see torn output)."""
     parts = [
-        os.path.join(sink_path, d)
-        for d in sorted(os.listdir(sink_path))
-        if d.startswith("cutoff=") and is_committed(os.path.join(sink_path, d))
+        sink_path.rstrip("/") + "/" + d
+        for d in fsio.listdir(sink_path, spark)
+        if d.startswith("cutoff=")
+        and is_committed(sink_path.rstrip("/") + "/" + d)
     ]
     if not parts:
         raise FileNotFoundError(f"no committed partitions under {sink_path}")

@@ -46,6 +46,26 @@ from feathr_spark.operators.swa import (
 MICROS = 1_000_000
 
 
+def _est_width(dt) -> int:
+    """Conservative per-row byte estimate for broadcast sizing: exact
+    for fixed-width types, deliberately pessimistic for variable-width
+    ones (a broadcast regime must never be granted on an optimistic
+    guess — falling back to the shuffle plan is merely slower, an OOM
+    is fatal)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.FloatType, T.BooleanType, T.DateType)):
+        return 8
+    if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType,
+                       T.TimestampNTZType, T.DecimalType)):
+        return 8
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return 48
+    if isinstance(dt, T.StructType):
+        return sum(_est_width(f.dataType) for f in dt.fields)
+    # arrays/maps: token arrays are "KBs each" (docstring) — assume 2 KB
+    return 2048
+
+
 def _tiebreak(vcols):
     """Deterministic order among fact rows sharing (key, ts): hash of the
     payload. Exact byte-duplicates still collapse to one identical row."""
@@ -392,6 +412,7 @@ def asof_fetch(
     value_cols: Sequence[str],
     broadcast_threshold: int | None = 4_000_000,
     payload_broadcast_threshold: int = 500_000,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Payload fetch for a PRECOMPUTED as-of match timestamp.
 
@@ -427,6 +448,16 @@ def asof_fetch(
     (persisted) obs frame; pass ``broadcast_threshold=None`` to skip
     the count and pin the shuffle plan. Measured at sf0.1 (150k pairs,
     1.5M fact rows): 2.27 s -> 1.91 s with identical output.
+
+    Both row thresholds are additionally capped by ``broadcast_max_bytes``
+    (default 256 MB) via a schema-derived row-width estimate — fixed
+    widths for numeric/timestamp columns, conservative defaults for
+    variable-width ones (48 B strings, 2 KB arrays/maps, matching the
+    "KBs each for token arrays" payload shape) — so 4M pairs of wide
+    multi-column keys or 500k token-array payload rows cannot produce a
+    multi-GB broadcast just because the ROW count passes. The implied
+    memory bill of a granted broadcast is therefore
+    <= broadcast_max_bytes per executor (plus the driver copy).
 
     ``match_ts_col`` must hold raw ``fact_ts`` values (what a
     ``LATEST`` feature over ``fact_ts`` emits), null for unmatched
@@ -475,8 +506,16 @@ def asof_fetch(
     n_bound = (obs.where(F.col(match_ts_col).isNotNull())
                .select(match_ts_col).count()
                if broadcast_threshold is not None else None)
-    small = n_bound is not None and n_bound <= broadcast_threshold
-    small_payload = small and n_bound <= payload_broadcast_threshold
+    # byte caps: rows x schema-estimated width must also fit (ADVICE r4
+    # — a row threshold alone lets wide keys / KB token-array payloads
+    # build multi-hundred-MB broadcasts on default-sized drivers)
+    pair_w = sum(_est_width(f.dataType) for f in pairs.schema.fields)
+    payload_w = pair_w + sum(_est_width(fact_proj.schema[v].dataType)
+                             for v in vcols)
+    small = (n_bound is not None and n_bound <= broadcast_threshold
+             and n_bound * pair_w <= broadcast_max_bytes)
+    small_payload = (small and n_bound <= payload_broadcast_threshold
+                     and n_bound * payload_w <= broadcast_max_bytes)
     if small:
         fact_m = fact_proj.join(F.broadcast(pairs),
                                 on=fk + ["__fts"], how="left_semi")

@@ -422,12 +422,28 @@ def temporal_split(
         raise ValueError("embargo must be >= 0")
     from pyspark.sql import types as T
     dt = {f.name: f.dataType for f in df.schema.fields}.get(ts_col)
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType,
+                       T.StringType)):
         # normalize to epoch seconds so the embargo (seconds) subtracts
-        # cleanly; val_start may be a string/datetime literal
-        t = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+        # cleanly; val_start may be a string/datetime literal. StringType
+        # ts columns go through the same conversion (try_cast: ANSI-safe,
+        # unparseable -> null -> 'embargo', same policy as null
+        # timestamps): raw string-minus-double arithmetic would
+        # implicitly cast to a null double and silently empty the train
+        # split. val_start keeps the strict cast — a bad literal there
+        # is a caller bug and must fail loudly.
+        tcol = (F.col(ts_col).try_cast("timestamp")
+                if isinstance(dt, T.StringType)
+                else F.col(ts_col).cast("timestamp"))
+        t = F.unix_micros(tcol) / F.lit(1e6)
         v = F.unix_micros(F.lit(val_start).cast("timestamp")) / F.lit(1e6)
     else:
+        if isinstance(val_start, str):
+            raise ValueError(
+                f"temporal_split: ts column {ts_col!r} is numeric "
+                f"({dt.simpleString() if dt is not None else 'missing'}) but "
+                "val_start is a string; the comparison cannot be evaluated — "
+                "pass a numeric val_start in the same units")
         t = F.col(ts_col)
         v = F.lit(val_start)
     side = (F.when(t.isNull(), F.lit("embargo"))

@@ -21,30 +21,30 @@ the deterministic shard column; an interrupted wave is rewritten whole
 O(#shards) tiny JSON writes — never a per-shard Spark job.
 
 Storage note: manifest I/O (``_commit``/``is_committed``) and shard
-discovery go through driver-local ``os`` calls, so ``sink_path`` must be
-a filesystem the DRIVER can see POSIX-style (local disk, NFS, fuse-
-mounted object store). For raw HDFS/S3 URIs, route these checks through
-the Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs``) —
-deliberately not done here because this sandbox exercises local paths
-only; the data files themselves are written by Spark writers and work
-on any Hadoop-compatible filesystem.
+discovery run through the Hadoop FileSystem API
+(:mod:`feathr_spark.fsio`), resolved from the sink path's scheme — so
+``sink_path`` may be local, ``hdfs://``, ``s3a://`` or any
+Hadoop-compatible filesystem (reference analogue:
+offline/util/HdfsUtils.scala / SparkIOUtils.scala). The data files are
+written by Spark executors as usual.
 """
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feathr_spark import fsio
 from feathr_spark.materialize import _commit, is_committed, read_manifest
 from feathr_spark.operators.corpus import shard_shuffle
 
 
 def _shard_dir(sink_path: str, k: int) -> str:
-    return os.path.join(sink_path, f"shard={k}")
+    # URI-style join so hdfs://... sinks work
+    return sink_path.rstrip("/") + f"/shard={k}"
 
 
 def write_shards(
@@ -86,7 +86,7 @@ def write_shards(
     # (n_shards, key_col, seed, hash) assignment. Skipping them under a
     # DIFFERENT assignment would silently produce a corpus with
     # duplicated and missing rows — refuse instead. EVERY skipped
-    # shard's manifest is checked (tiny driver-local JSON reads): a sink
+    # shard's manifest is checked (tiny sink-filesystem JSON reads): a sink
     # that mixes assignments — e.g. an aborted resume=False rerun over an
     # older fully-committed sink — must not pass just because the first
     # skipped shard happens to match the current parameters.
@@ -151,7 +151,7 @@ def write_shards(
             # a zero-row shard gets no shard=K directory from the dynamic
             # partition overwrite — create it so the manifest commit (and
             # load_shards discovery) still works
-            os.makedirs(_shard_dir(sink_path, k), exist_ok=True)
+            fsio.mkdirs(_shard_dir(sink_path, k), spark)
             _commit(_shard_dir(sink_path, k), {
                 "partition": f"shard={k}",
                 "n_shards": n_shards,
@@ -193,13 +193,13 @@ def load_shards(spark: SparkSession, sink_path: str,
     empty frame from the manifest-recorded schema instead of crashing
     parquet schema inference."""
     have, manifests = [], []
-    for d in sorted(os.listdir(sink_path)):
+    for d in fsio.listdir(sink_path, spark):
         if not d.startswith("shard="):
             continue
         k = int(d.split("=", 1)[1])
         if shards is not None and k not in set(int(s) for s in shards):
             continue
-        p = os.path.join(sink_path, d)
+        p = sink_path.rstrip("/") + "/" + d
         m = read_manifest(p)
         if m is not None:
             have.append(p)
@@ -223,10 +223,10 @@ def shard_report(sink_path: str) -> dict:
     """Aggregate the lineage manifests into one run report (rows per
     shard, total rows, uncommitted shard dirs)."""
     shards, uncommitted = {}, []
-    for d in sorted(os.listdir(sink_path)):
+    for d in fsio.listdir(sink_path):
         if not d.startswith("shard="):
             continue
-        m = read_manifest(os.path.join(sink_path, d))
+        m = read_manifest(sink_path.rstrip("/") + "/" + d)
         if m is None:
             uncommitted.append(d)
         else:

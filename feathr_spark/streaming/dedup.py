@@ -25,22 +25,22 @@ shuffles carry ids only. At 10^12 sequences the fingerprint table is
 the only state, it lives in storage (not executor memory), and it
 grows only by kept rows.
 
-Storage note: epoch discovery (``os.path.isdir``/``os.listdir`` on
-``fp_path``) runs on the DRIVER with POSIX calls, so ``corpus_path`` /
-``fp_path`` must be driver-visible filesystems (local disk, NFS, fuse
-mount) — the same contract as :mod:`feathr_spark.sources.shards`
-manifest I/O. For raw HDFS/S3 URIs, swap these checks for the Hadoop
-FileSystem API; the Spark-written data files themselves already work on
-any Hadoop-compatible filesystem.
+Storage note: epoch discovery on ``fp_path`` runs through the Hadoop
+FileSystem API (:mod:`feathr_spark.fsio`), resolved from the path's
+scheme — ``corpus_path`` / ``fp_path`` may be local, ``hdfs://`` or
+``s3a://`` alike, the same contract as
+:mod:`feathr_spark.sources.shards` manifest I/O (reference analogue:
+offline/util/HdfsUtils.scala).
 """
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from feathr_spark import fsio
 
 
 def stream_dedup_ingest(
@@ -81,8 +81,8 @@ def stream_dedup_ingest(
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         epoch = int(epoch_id)
-        if os.path.isdir(fp_path) and any(
-                d.startswith("__epoch=") for d in os.listdir(fp_path)):
+        if any(d.startswith("__epoch=")
+               for d in fsio.listdir(fp_path, spark)):
             existing = (spark.read.option("basePath", fp_path)
                         .parquet(fp_path)
                         # retry-safety: never dedup against our own

@@ -495,6 +495,19 @@ def test_temporal_split_embargo(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="embargo"):
         temporal_split(df, "ts", 200.0, embargo=-1)
+    # StringType ts column (ADVICE r4): must normalize through a
+    # timestamp cast, not fall into string-minus-double arithmetic that
+    # silently empties the train split
+    sv = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (2, "2024-01-19 12:00:00"),
+         (3, "2024-01-21 00:00:00"), (4, "not a timestamp")],
+        "id long, ts string")
+    gs = {r["id"]: r["split"] for r in
+          temporal_split(sv, "ts", "2024-01-20", embargo=86400.0).collect()}
+    assert gs == {1: "train", 2: "embargo", 3: "val", 4: "embargo"}
+    # numeric ts + string val_start cannot be evaluated -> loud error
+    with _pt.raises(ValueError, match="numeric"):
+        temporal_split(df, "ts", "2024-01-20", embargo=1.0)
 
 
 def test_schema_diff(spark):

@@ -20,6 +20,22 @@ def test_infer_feature_type(spark):
     }
 
 
+def test_infer_3field_struct_guard(spark):
+    # ADVICE r4: only a NUMERIC third field infers SPARSE_TENSOR_2D;
+    # other 3-field structs keep the original CATEGORICAL_SET inference
+    from pyspark.sql import types as T
+    num = T.ArrayType(T.StructType([
+        T.StructField("d0", T.StringType()),
+        T.StructField("d1", T.StringType()),
+        T.StructField("v", T.DoubleType())]))
+    nonnum = T.ArrayType(T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.StringType())]))
+    assert fds.infer_feature_type(num) == fds.SPARSE_TENSOR_2D
+    assert fds.infer_feature_type(nonnum) == fds.CATEGORICAL_SET
+
+
 def test_scalar_and_dense(spark):
     df = spark.createDataFrame(
         [(3, 2.25, True, [1.0, 2.5]), (None, None, None, None)],

@@ -138,11 +138,15 @@ def test_resume_guard_checks_every_skipped_shard(spark, docs, tmp_path):
     import json
     sink = str(tmp_path / "mixed")
     write_shards(docs, sink, n_shards=4, seed=3)
-    # simulate: shard 0 recommitted under seed=4, rest still seed=3
-    p = os.path.join(sink, "shard=0", "_manifest.json")
-    m = json.load(open(p))
+    # simulate: shard 0 recommitted under seed=4, rest still seed=3 —
+    # rewrite through the same fsio commit path a real rerun uses (a raw
+    # POSIX write would desync Hadoop LocalFileSystem's .crc sidecar)
+    from feathr_spark import fsio
+    from feathr_spark.materialize import _commit
+    mp = sink + "/shard=0"
+    m = json.loads(fsio.read_text(mp + "/_manifest.json"))
     m["seed"] = 4
-    json.dump(m, open(p, "w"))
+    _commit(mp, m)
     with pytest.raises(ValueError, match="shard=[123].*different assignment"):
         write_shards(docs, sink, n_shards=4, seed=4)
 
@@ -157,3 +161,26 @@ def test_load_all_empty_sink_returns_typed_empty(spark, tmp_path):
     back = load_shards(spark, sink)
     assert back.count() == 0
     assert set(back.columns) >= {"doc_id", "val", "shard", "pos"}
+
+
+def test_kill_resume_through_file_uri(spark, docs, tmp_path):
+    # manifest I/O must run through the Hadoop FS API: the whole
+    # kill/resume cycle over an explicit file:// URI sink (the exact
+    # code path an hdfs:// or s3a:// sink takes)
+    local = str(tmp_path / "uri_shards")
+    sink = "file://" + local
+    write_shards(docs, sink, n_shards=4, seed=2, wave_size=4)
+    before = shard_report(sink)["rows_per_shard"]
+    assert len(before) == 4
+
+    # kill: shard 1 fully lost, shard 3 torn (manifest removed)
+    shutil.rmtree(os.path.join(local, "shard=1"))
+    os.remove(os.path.join(local, "shard=3", "_manifest.json"))
+    assert not is_committed(sink + "/shard=3")
+    assert load_shards(spark, sink).count() == 400 - before[1] - before[3]
+
+    report = write_shards(docs, sink, n_shards=4, seed=2, wave_size=4)
+    assert sorted(report["written"]) == [1, 3]
+    assert sorted(report["skipped"]) == [0, 2]
+    assert shard_report(sink)["rows_per_shard"] == before
+    assert load_shards(spark, sink).count() == 400
