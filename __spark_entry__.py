@@ -2551,80 +2551,28 @@ def q_cluster_weights(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS harness emits rows for the
-    # FIRST 50 dict entries only. Round-4 window (per SURVEY §10.1 +
-    # VERDICT r3 items 1-2): (1) the three r3 red rows, now fixed
-    # (::BIGINT oracle casts for the DuckDB HUGEINT dtype skew; scalar
-    # flattening for fds_convert) — they MUST re-run to earn green rows;
-    # (2) category_drift, whose oracle had the identical latent HUGEINT
-    # bug, fixed before rotation as the judge directed; (3) the nine
-    # green-capable queries that have never had a driver row (added past
-    # the r3 window) plus rows-only ann_ivf; (4) backfill with the
-    # longest-unconfirmed green rows: the six r1-only greens, then the
-    # r2-green flagship SWA/as-of/dedup block, then r2-green window ops.
-    # Everything past the cap is green in CORRECTNESS_r01/r02/r03 and
-    # re-verified by the identical (now dtype-strict) DuckDB compare in
-    # tests/test_driver_contract.py every round. After r4 the only
-    # never-green driver rows should be {ann_lsh, ann_ivf} — rows-only
-    # by design, verified via in-window det twins + ann_recall_bounds.
+    # FIRST 50 dict entries only. Round-5 window (per SURVEY §12.1 +
+    # VERDICT r4 item 1): (1) the five round-4 additions that sat past
+    # the r4 cap (corpus_diff, corpus_diff_summary, cluster_weights,
+    # swa_salted_union, temporal_split — green in the repo-side oracle
+    # harness at sf0.001+sf0.01, never driver-checked); (2) backfill
+    # with the LONGEST-UNCONFIRMED greens: the 20 queries whose only
+    # driver row is r2 (they rotated past the cap in r3), then the
+    # oldest r3-green block. ann_ivf is NOT re-run (its rows-only
+    # status is recorded in CORRECTNESS_r04 per VERDICT r4 item 3);
+    # ann_lsh likewise stays past the cap (rows-only by design,
+    # det-twin + recall-bound verified). Everything past the cap has a
+    # green row in r1-r4 and is re-verified by the identical
+    # dtype-strict DuckDB compare in tests/test_driver_contract.py
+    # every round.
     return {
-        # -- (1) r3 red rows, fixed this round ----------------------------
-        "fds_convert": q_fds_convert,
-        "token_stats": q_token_stats,
-        "feature_drift": q_feature_drift,
-        # -- (2) latent HUGEINT oracle bug fixed pre-rotation --------------
-        "category_drift": q_category_drift,
-        # -- (3) never had a driver row (past every prior window) ----------
-        "asof_fused": q_asof_fused,
-        "html_extract": q_html_extract,
-        "shard_write": q_shard_write,
-        "semantic_contamination": q_semantic_contamination,
-        "quality_lottery": q_quality_lottery,
-        "corpus_datacard": q_corpus_datacard,
-        "pii_cards": q_pii_cards,
-        "lm_ppl_buckets": q_lm_ppl_buckets,
-        "fds_convert_2d": q_fds_convert_2d,
-        "ann_ivf": q_ann_ivf,
-        # -- (4a) green in round 1 only, unconfirmed since -----------------
-        "doc_fingerprint": q_doc_fingerprint,
-        "feature_stats": q_feature_stats,
-        "near_dup_embeddings": q_near_dup_embeddings,
-        "rollup_distinct_daily": q_rollup_distinct_daily,
-        "swa_lateral": q_swa_lateral,
-        "swa_slick": q_swa_slick,
-        # -- (4b) flagship block, green r2, unconfirmed since --------------
-        "swa_sum_count_avg": q_swa_sum_count_avg,
-        "swa_sum_count_avg_cogroup": q_swa_sum_count_avg_cogroup,
-        "swa_min_max": q_swa_min_max,
-        "swa_latest_timesince": q_swa_latest_timesince,
-        "swa_count_distinct": q_swa_count_distinct,
-        "swa_filtered": q_swa_filtered,
-        "swa_delay": q_swa_delay,
-        "swa_grouped_topk": q_swa_grouped_topk,
-        "swa_pooling": q_swa_pooling,
-        "swa_multikey": q_swa_multikey,
-        "swa_salted": q_swa_salted,
-        "asof_purchase": q_asof_purchase,
-        "asof_tokens": q_asof_tokens,
-        "asof_prune": q_asof_prune,
-        "asof_tolerance": q_asof_tolerance,
-        "asof_cogroup": q_asof_cogroup,
-        "minhash_clusters": q_minhash_clusters,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "knn_bruteforce": q_knn_bruteforce,
-        "gen_cutoff": q_gen_cutoff,
-        "gen_term_map": q_gen_term_map,
-        # -- (4c) window/rollup ops, green r2, unconfirmed since -----------
-        "gen_incremental": q_gen_incremental,
-        "rollup_daily": q_rollup_daily,
-        "lag_lead": q_lag_lead,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "backfill": q_backfill,
-        "rolling_stats": q_rolling_stats,
-        "tpch_q1": q_tpch_q1,
-        # ---- 50-row driver cap falls here --------------------------------
-        # -- past the cap: green r2 ----------------------------------------
+        # -- (1) round-4 additions, first driver rows ----------------------
+        "corpus_diff": q_corpus_diff,
+        "corpus_diff_summary": q_corpus_diff_summary,
+        "cluster_weights": q_cluster_weights,
+        "swa_salted_union": q_swa_salted_union,
+        "temporal_split": q_temporal_split,
+        # -- (2a) green in round 2 only, unconfirmed since -----------------
         "topk_per_group": q_topk_per_group,
         "lookup_two_hop": q_lookup_two_hop,
         "lookup_union_agg": q_lookup_union_agg,
@@ -2645,8 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sliding": q_stream_sliding,
         "lang_id": q_lang_id,
-        "ann_lsh": q_ann_lsh,
-        # -- past the cap: green r3 ----------------------------------------
+        # -- (2b) green in round 3 only, unconfirmed since -----------------
         "kmeans_clusters": q_kmeans_clusters,
         "curate_funnel": q_curate_funnel,
         "token_dedup_pairs": q_token_dedup_pairs,
@@ -2672,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running": q_stream_running,
         "ann_recall_bounds": q_ann_recall_bounds,
         "hocon_join": q_hocon_join,
+        # ---- 50-row driver cap falls here --------------------------------
+        # -- past the cap: green r3, next-longest-unconfirmed --------------
         "gen_derived": q_gen_derived,
         "image_stats": q_image_stats,
         "incremental_dedup": q_incremental_dedup,
@@ -2694,12 +2643,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "mixture_weights": q_mixture_weights,
-        # -- new in round 4 (past the cap; rotate into the r5 window) ------
-        "corpus_diff": q_corpus_diff,
-        "corpus_diff_summary": q_corpus_diff_summary,
-        "cluster_weights": q_cluster_weights,
-        "swa_salted_union": q_swa_salted_union,
-        "temporal_split": q_temporal_split,
+        # -- past the cap: green r4 (freshest rows, rotate out) ------------
+        "fds_convert": q_fds_convert,
+        "token_stats": q_token_stats,
+        "feature_drift": q_feature_drift,
+        "category_drift": q_category_drift,
+        "asof_fused": q_asof_fused,
+        "html_extract": q_html_extract,
+        "shard_write": q_shard_write,
+        "semantic_contamination": q_semantic_contamination,
+        "quality_lottery": q_quality_lottery,
+        "corpus_datacard": q_corpus_datacard,
+        "pii_cards": q_pii_cards,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
+        "fds_convert_2d": q_fds_convert_2d,
+        "doc_fingerprint": q_doc_fingerprint,
+        "feature_stats": q_feature_stats,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "rollup_distinct_daily": q_rollup_distinct_daily,
+        "swa_lateral": q_swa_lateral,
+        "swa_slick": q_swa_slick,
+        "swa_sum_count_avg": q_swa_sum_count_avg,
+        "swa_sum_count_avg_cogroup": q_swa_sum_count_avg_cogroup,
+        "swa_min_max": q_swa_min_max,
+        "swa_latest_timesince": q_swa_latest_timesince,
+        "swa_count_distinct": q_swa_count_distinct,
+        "swa_filtered": q_swa_filtered,
+        "swa_delay": q_swa_delay,
+        "swa_grouped_topk": q_swa_grouped_topk,
+        "swa_pooling": q_swa_pooling,
+        "swa_multikey": q_swa_multikey,
+        "swa_salted": q_swa_salted,
+        "asof_purchase": q_asof_purchase,
+        "asof_tokens": q_asof_tokens,
+        "asof_prune": q_asof_prune,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_cogroup": q_asof_cogroup,
+        "minhash_clusters": q_minhash_clusters,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "gen_cutoff": q_gen_cutoff,
+        "gen_term_map": q_gen_term_map,
+        "gen_incremental": q_gen_incremental,
+        "rollup_daily": q_rollup_daily,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "backfill": q_backfill,
+        "rolling_stats": q_rolling_stats,
+        "tpch_q1": q_tpch_q1,
+        # -- rows-only by design (never burn a window slot: VERDICT r4) ----
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

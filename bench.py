@@ -92,6 +92,18 @@ def _cpu_jiffies():
         return None
 
 
+def _entry_telemetry(j0, j1, load1_start):
+    """Host conditions during ONE battery entry: busy/steal fractions of
+    the /proc/stat delta plus the 1-min loadavg when it started."""
+    out = {"load1": round(load1_start, 2)}
+    if j0 and j1 and len(j0) >= 8 and len(j1) >= 8:
+        d = [b - a for a, b in zip(j0, j1)]
+        total = sum(d) or 1
+        out["busy"] = round(1.0 - (d[3] + d[4]) / total, 4)
+        out["steal"] = round(d[7] / total, 6)
+    return out
+
+
 def _host_block(j0, j1, load0):
     """Telemetry for the bench window: loadavg at both ends plus busy /
     steal fractions from the /proc/stat delta. High busy-with-low-
@@ -240,19 +252,48 @@ def main() -> None:
     # back-to-back runs per query): a multi-second co-tenant burst then
     # pollutes at most one of each query's samples instead of all three,
     # so per-query min-of-3 picks each query's quietest era of the run
+    # Per-entry self-adjudication (VERDICT r4 item 3): every iteration
+    # samples /proc/stat + 1-min loadavg around itself; the telemetry of
+    # each query's CHOSEN (min) iteration is emitted next to its timing.
+    # A polluted entry is then identifiable from the JSON alone: its
+    # busy fraction exceeds what the job's own parallelism explains, or
+    # steal is nonzero, or load1 is far above the battery's median.
+    telemetry: dict[str, dict] = {}
     for name in HEADLINE:
         timings[name] = float("inf")
     for _ in range(3):
         for name in HEADLINE:
             spark.catalog.clearCache()
+            l1 = os.getloadavg()[0]
+            jq0 = _cpu_jiffies()
             t0 = time.monotonic()
             _force(qmap[name](spark, SF_DIR))
-            timings[name] = min(timings[name], time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            if dt < timings[name]:
+                timings[name] = dt
+                telemetry[name] = _entry_telemetry(jq0, _cpu_jiffies(), l1)
     for name in HEADLINE:
         timings[name] = round(timings[name], 3)
 
+    # canary immediately BEFORE the flagship (VERDICT r4: the flagship
+    # runs last, where tail-of-run co-tenant spikes landed in r4 — an
+    # adjacent canary pins host speed at the moment the flagship runs)
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    _force(qmap[CANARY](spark, SF_DIR))
+    canary_pre_flagship = round(time.monotonic() - t0, 3)
+
+    jf0, lf = _cpu_jiffies(), os.getloadavg()[0]
     flagship_sec, flagship_cold, n_obs = corpus_feature_vectors(spark, sf)
+    telemetry["corpus_feature_vectors"] = _entry_telemetry(
+        jf0, _cpu_jiffies(), lf)
     timings["corpus_feature_vectors"] = round(flagship_sec, 3)
+
+    # ... and immediately AFTER it
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    _force(qmap[CANARY](spark, SF_DIR))
+    canary_post_flagship = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     drift = round(timings[CANARY] / CANARY_R3_SEC, 3) if CANARY in timings else None
@@ -271,7 +312,15 @@ def main() -> None:
         # cross-round per-query ratio by this before reading it as a
         # code regression/improvement (tpch_q1 code is frozen).
         "canary": {"query": CANARY, "sec": timings.get(CANARY),
-                   "r3_sec": CANARY_R3_SEC, "host_drift": drift},
+                   "r3_sec": CANARY_R3_SEC, "host_drift": drift,
+                   # single-shot canary runs flanking the flagship: if
+                   # these disagree with the battery canary, the host
+                   # shifted during the run and the flagship's own
+                   # telemetry entry says by how much
+                   "pre_flagship_sec": canary_pre_flagship,
+                   "post_flagship_sec": canary_post_flagship},
+        # per-entry host telemetry of each query's chosen iteration
+        "query_telemetry": telemetry,
     }))
     spark.stop()
 
