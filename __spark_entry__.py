@@ -1516,15 +1516,22 @@ def q_near_dup_embeddings(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate top-k neighbors via random-hyperplane LSH buckets
-    (rows-only: approximate recall is seed-dependent, not SQL-expressible)."""
+    """Approximate top-k neighbors via SEEDED random-hyperplane LSH
+    buckets — the real Gaussian path, not the det twin. Hard-oracled
+    since r5: in float64 every decision (bucket signs, multi-probe set,
+    scores, ranking) is a pure function of the table plus the seed's
+    hyperplane values, which the DuckDB oracle replays as literals
+    (signs are scale-invariant, so the oracle skips normalization for
+    bucketing; scores round to 5 like knn_bruteforce)."""
     from feathr_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     qvecs = [r["embedding"] for r in emb.where(F.col("vec_id") < 4)
              .orderBy("vec_id").collect()]
     dim = len(qvecs[0])
-    return ann_topk_lsh(emb, qvecs, dim, k=3, n_bits=8, seed=7)
+    out = ann_topk_lsh(emb, qvecs, dim, k=3, n_bits=8, seed=7,
+                       dtype="float64")
+    return out.select("query_id", "vec_id", F.round("score", 5).alias("score"))
 
 
 def q_rollup_distinct_daily(spark, sf_dir):
@@ -1741,16 +1748,22 @@ def q_repetition_features(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN top-3 for the first 3 vectors (rows-only: centroid fit is
-    sample/seed-dependent, not SQL-expressible; exact parity is covered
-    by knn_bruteforce's green oracle, and recall vs brute force is
-    asserted in tests/test_similarity_mm.py)."""
+    """IVF ANN top-3 for the first 3 vectors through the REAL ivf_topk
+    pipeline (sample -> Lloyd coarse quantizer -> cell assignment ->
+    probe ranking -> scoring -> top-k). Hard-oracled since r5 via the
+    deterministic fit mode (fit="det": id-ordered sample, evenly spaced
+    init, RNG-free Lloyd) in float64 — the DuckDB oracle replays the
+    whole pipeline INCLUDING the k-means fit as unrolled chained CTEs
+    (_ann_ivf_oracle). The seeded production fit keeps its recall
+    coverage in tests/test_similarity_mm.py."""
     from feathr_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_v = [r["embedding"] for r in emb.where(F.col("vec_id") < 3)
                  .orderBy("vec_id").collect()]
-    return ivf_topk(emb, queries_v, k=3, n_centroids=16, n_probe=8)
+    out = ivf_topk(emb, queries_v, k=3, n_centroids=16, n_probe=8,
+                   fit="det", dtype="float64")
+    return out.select("query_id", "vec_id", F.round("score", 5).alias("score"))
 
 
 def q_ann_lsh_det(spark, sf_dir):
@@ -2617,10 +2630,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "client_flow": q_client_flow,
         "stream_asof": q_stream_asof,
         "stream_running": q_stream_running,
-        "ann_recall_bounds": q_ann_recall_bounds,
-        "hocon_join": q_hocon_join,
+        # the two never-green rows, hard-oracled in r5 (VERDICT r4 item
+        # 4a): the seeded Gaussian LSH path with literal hyperplanes in
+        # the oracle, and the IVF path whose deterministic Lloyd fit the
+        # oracle replays as unrolled CTEs — both float64-decision modes
+        # of the REAL operators, not the det twins
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         # ---- 50-row driver cap falls here --------------------------------
         # -- past the cap: green r3, next-longest-unconfirmed --------------
+        "ann_recall_bounds": q_ann_recall_bounds,
+        "hocon_join": q_hocon_join,
         "gen_derived": q_gen_derived,
         "image_stats": q_image_stats,
         "incremental_dedup": q_incremental_dedup,
@@ -2693,9 +2713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "rolling_stats": q_rolling_stats,
         "tpch_q1": q_tpch_q1,
-        # -- rows-only by design (never burn a window slot: VERDICT r4) ----
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -2867,6 +2884,149 @@ _GOPHER_PASS = ("((nw >= 25 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0) "
                 "AND (n_sym / nw1 <= 0.1) AND (bullet_frac <= 0.9) "
                 "AND (ell_frac <= 0.3) AND (alpha_frac >= 0.8) "
                 "AND (stop_hits >= 1))")
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB replay of the SEEDED LSH path (q_ann_lsh): the seed-7
+    Gaussian hyperplanes are data-independent constants, so they embed
+    as double literals (exact shortest-roundtrip repr of the float32
+    draws — the same values the engine widens to float64). Bucket bits
+    use the raw dot (sign-invariant under normalization); the 37-mask
+    multi-probe set (identity + 8 single-bit + 28 double-bit flips) is
+    likewise a literal list. Everything else — query buckets, candidate
+    join, cosine scores, top-3 — is recomputed from the table."""
+    from feathr_spark.operators.similarity import _hyperplanes
+
+    H = _hyperplanes(64, 8, 7)
+    hrows = ",\n                ".join(
+        "({}, [{}])".format(
+            b, ", ".join(repr(float(v)) for v in H[b]))
+        for b in range(8))
+    masks = [0] + [1 << i for i in range(8)] + [
+        (1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)]
+    return """
+        WITH h(bit, hv) AS (VALUES
+                {hrows}
+        ), c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+        ), cb AS (
+            SELECT c.vec_id,
+                   sum(CASE WHEN list_dot_product(c.cv, h.hv) > 0
+                       THEN 1 << h.bit ELSE 0 END)::BIGINT AS bucket
+            FROM c CROSS JOIN h GROUP BY c.vec_id
+        ), q AS (
+            SELECT cb.vec_id AS query_id, c.cv AS qv, cb.bucket AS qbucket
+            FROM cb JOIN c USING (vec_id) WHERE cb.vec_id < 4
+        ), probes AS (
+            SELECT DISTINCT query_id, xor(qbucket, m.mask) AS bucket
+            FROM q CROSS JOIN (SELECT unnest({masks}) AS mask) m
+        ), cand AS (
+            SELECT p.query_id, cb.vec_id
+            FROM probes p JOIN cb USING (bucket)
+        ), s AS (
+            SELECT cand.query_id, cand.vec_id,
+                   list_dot_product(q.qv, c.cv)
+                   / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.cv, c.cv)), 1e-24)
+                       AS score
+            FROM cand
+            JOIN q USING (query_id)
+            JOIN c ON c.vec_id = cand.vec_id
+        ), r AS (
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM s
+        )
+        SELECT query_id, vec_id, round(score, 5) AS score
+        FROM r WHERE rn <= 3
+    """.format(hrows=hrows, masks=masks)
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, iters: int = 5, n_probe: int = 8,
+                    k: int = 3, dim: int = 64, sample: int = 20000) -> str:
+    """DuckDB replay of the DETERMINISTIC-fit IVF path (q_ann_ivf):
+    with fit="det" + float64 every step — id-ordered sample, evenly
+    spaced init centroids, each unrolled Lloyd iteration (argmax-cosine
+    assignment with ties to the lowest cell, normalized member-mean
+    recenter, empty cells keep their centroid), corpus assignment,
+    probe ranking, scoring, top-k — is a pure function of the table, so
+    the oracle recomputes the ENTIRE pipeline including the k-means fit
+    (iterations generated as chained CTEs)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append("""a{i} AS (
+            SELECT sn.rk, sn.nv,
+                   (SELECT kk.cell FROM km{p} kk
+                    ORDER BY list_dot_product(sn.nv, kk.cv) DESC, kk.cell
+                    LIMIT 1) AS cell
+            FROM sn
+        ), mu{i} AS (
+            SELECT cell, list(av ORDER BY d) AS mv
+            FROM (SELECT cell, t.d AS d, avg(nv[t.d + 1]) AS av
+                  FROM a{i}, range({dim}) t(d) GROUP BY cell, t.d)
+            GROUP BY cell
+        ), km{i} AS (
+            SELECT kk.cell,
+                   CASE WHEN m.mv IS NULL THEN kk.cv
+                        ELSE list_transform(m.mv, x -> x /
+                             greatest(sqrt(list_dot_product(m.mv, m.mv)),
+                                      1e-12)) END AS cv
+            FROM km{p} kk LEFT JOIN mu{i} m USING (cell)
+        )""".format(i=i, p=i - 1, dim=dim))
+    return """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE embedding IS NOT NULL
+        ), cn AS (
+            SELECT vec_id, list_transform(v, x -> x /
+                   greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
+            FROM e
+        ), sn AS (
+            SELECT * FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS rk, nv
+                FROM cn)
+            WHERE rk < {sample}
+        ), prm AS (
+            SELECT greatest(count(*) // {nc}, 1) AS step FROM sn
+        ), km0 AS (
+            SELECT c.cell, sn.nv AS cv
+            FROM (SELECT unnest(range({nc})) AS cell) c
+            CROSS JOIN prm JOIN sn ON sn.rk = c.cell * prm.step
+        ), {steps}, assign AS (
+            SELECT cn.vec_id,
+                   (SELECT kk.cell FROM km{it} kk
+                    ORDER BY list_dot_product(cn.nv, kk.cv) DESC, kk.cell
+                    LIMIT 1) AS cell
+            FROM cn
+        ), qn2 AS (
+            SELECT vec_id AS query_id, nv AS qv FROM cn WHERE vec_id < 3
+        ), probes AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, kk.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qv, kk.cv) DESC,
+                                    kk.cell) AS rn
+                FROM qn2 q CROSS JOIN km{it} kk)
+            WHERE rn <= {np}
+        ), cand AS (
+            SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+        ), sc AS (
+            SELECT cand.query_id, cand.vec_id,
+                   list_dot_product(q.qv, c.nv) AS score
+            FROM cand JOIN qn2 q USING (query_id)
+            JOIN cn c ON c.vec_id = cand.vec_id
+        ), r AS (
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM sc
+        )
+        SELECT query_id, vec_id, round(score, 5) AS score
+        FROM r WHERE rn <= {k}
+    """.format(sample=sample, nc=n_centroids, it=iters, np=n_probe, k=k,
+               steps=", ".join(steps))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3292,6 +3452,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(score, 5) AS score FROM r WHERE rn <= 3
         """,
+        "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "ann_lsh_det": """
             WITH qv AS (
                 SELECT vec_id,

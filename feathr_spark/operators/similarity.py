@@ -125,18 +125,25 @@ def embedding_lsh_buckets(
     seed: int = 42,
     vec_col: str = "embedding",
     out_col: str = "lsh_bucket",
+    dtype: str = "float32",
 ) -> DataFrame:
     """Sign-bit sketch bucket id (long) per row — vectors in the same
     bucket are likely cosine-similar. Partition/cluster the corpus by
-    this column for ANN probes."""
+    this column for ANN probes. ``dtype``: float32 (default, the 100 TB
+    bandwidth setting) or float64 (sign decisions match a
+    double-precision SQL oracle replaying the same hyperplane
+    literals — the knn_bruteforce recipe)."""
+    np_dtype = np.float64 if dtype == "float64" else np.float32
 
     @F.pandas_udf("long")
     def _bucket(vecs: pd.Series) -> pd.Series:
-        H = _hyperplanes(dim, n_bits, seed)  # regenerated per executor
+        # regenerated per executor; float32 draws, widened if asked so
+        # both dtypes bucket from the SAME hyperplane values
+        H = _hyperplanes(dim, n_bits, seed).astype(np_dtype)
         out = np.zeros(len(vecs), dtype=np.int64)
         ok = vecs.notna()
         if ok.any():
-            mat = np.stack(vecs[ok].to_numpy()).astype(np.float32)
+            mat = np.stack(vecs[ok].to_numpy()).astype(np_dtype)
             bits = (mat @ H.T) > 0  # (n, n_bits)
             vals = bits @ (1 << np.arange(n_bits, dtype=np.int64))
             out[ok.to_numpy()] = vals
@@ -155,13 +162,20 @@ def ann_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtype: str = "float32",
 ) -> DataFrame:
     """Approximate top-k: search only corpus rows whose LSH bucket is
     within ``n_probe_bits`` Hamming distance of the query's bucket
     (multi-probe). Recall/latency tradeoff via n_bits / n_probe_bits.
+    ``dtype``: float32 (default) or float64 — with float64 every
+    decision (bucket signs, probe set, scores, ranking) matches a
+    double-precision SQL oracle that replays the seed's hyperplanes as
+    literals, so the seeded path itself earns a hard value-level check
+    (bucket signs are scale-invariant: sign(v.h) == sign(v_norm.h)).
     """
-    H = _hyperplanes(dim, n_bits, seed)
-    q = np.asarray(queries, dtype=np.float32)
+    np_dtype = np.float64 if dtype == "float64" else np.float32
+    H = _hyperplanes(dim, n_bits, seed).astype(np_dtype)
+    q = np.asarray(queries, dtype=np_dtype)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     qbits = (qn @ H.T) > 0
     qbuckets = qbits @ (1 << np.arange(n_bits, dtype=np.int64))
@@ -184,7 +198,8 @@ def ann_topk_lsh(
     probe_rows = [(int(qi), int(b)) for qi, qb in enumerate(qbuckets) for b in probes(int(qb))]
     probe_df = spark.createDataFrame(probe_rows, "query_id long, lsh_bucket long").dropDuplicates()
 
-    bucketed = embedding_lsh_buckets(corpus, dim, n_bits, seed, vec_col)
+    bucketed = embedding_lsh_buckets(corpus, dim, n_bits, seed, vec_col,
+                                     dtype=dtype)
     candidates = bucketed.join(F.broadcast(probe_df), on="lsh_bucket")
 
     qb = spark.sparkContext.broadcast(qn)
@@ -192,7 +207,7 @@ def ann_topk_lsh(
     @F.pandas_udf("double")
     def _score(qids: pd.Series, vecs: pd.Series) -> pd.Series:
         qm = qb.value
-        mat = np.stack(vecs.to_numpy()).astype(np.float32)
+        mat = np.stack(vecs.to_numpy()).astype(np_dtype)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sel = qm[qids.to_numpy()]
         return pd.Series(np.einsum("ij,ij->i", sel, mat).astype(np.float64))
@@ -434,17 +449,47 @@ def _fit_centroids(sample: np.ndarray, n_centroids: int, iters: int, seed: int) 
     return cent
 
 
+def _fit_centroids_det(sample: np.ndarray, n_centroids: int,
+                       iters: int) -> np.ndarray:
+    """Deterministic Lloyd fit: the RNG-free twin of
+    :func:`_fit_centroids`. Init centroids are the evenly spaced rows
+    ``c * (n // k)`` of the (id-ordered, normalized) sample; each
+    iteration assigns by argmax cosine (first max wins — ties go to the
+    lowest cell, matching a SQL ``ORDER BY sim DESC, cell`` rank) and
+    recenters to the normalized member mean, keeping the previous
+    centroid for empty cells. Every step is a pure float64 function of
+    the sample, so a double-precision SQL oracle can replay the fit
+    exactly (the ann_ivf driver oracle does)."""
+    n = len(sample)
+    k = min(n_centroids, n)
+    step = max(n // k, 1)
+    idx = [min(c * step, n - 1) for c in range(k)]
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(float(np.linalg.norm(v)), 1e-12)
+    return cent
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
+    dtype: str = "float32",
 ) -> DataFrame:
     """Nearest-centroid cell id per row (Arrow-batched matmul). At scale,
     write the corpus partitioned/bucketed by this column once and every
-    subsequent query prunes to n_probe cells at the SCAN."""
+    subsequent query prunes to n_probe cells at the SCAN. ``dtype``:
+    float32 (default) or float64 (cell decisions match a
+    double-precision SQL oracle)."""
+    np_dtype = np.float64 if dtype == "float64" else np.float32
     spark = corpus.sparkSession
-    cb = spark.sparkContext.broadcast(centroids.astype(np.float32))
+    cb = spark.sparkContext.broadcast(centroids.astype(np_dtype))
 
     @F.pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
@@ -452,7 +497,7 @@ def ivf_assign(
         out = np.full(len(vecs), -1, dtype=np.int32)
         ok = vecs.notna()
         if ok.any():
-            mat = np.stack(vecs[ok].to_numpy()).astype(np.float32)
+            mat = np.stack(vecs[ok].to_numpy()).astype(np_dtype)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             out[ok.to_numpy()] = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
         return pd.Series(out)
@@ -471,29 +516,48 @@ def ivf_topk(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit: str = "seeded",
+    dtype: str = "float32",
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors: coarse k-means centroids
     (fit driver-side on a bounded sample), corpus rows assigned to their
     nearest cell, each query scored ONLY against its ``n_probe`` nearest
     cells — the candidate set shrinks ~n_probe/n_centroids versus
     brute force, and the (query, cell) probe table is a broadcast join,
-    so no shuffle of the corpus. Returns (query_id, vec_id, score)."""
+    so no shuffle of the corpus. Returns (query_id, vec_id, score).
+
+    ``fit``: "seeded" (default — RNG init over an arbitrary-order
+    sample, the FAISS-style production setting) or "det"
+    (:func:`_fit_centroids_det` over the first ``sample_size`` rows in
+    ``id_col`` order — every step a pure function of the table, so with
+    ``dtype="float64"`` a double-precision SQL oracle replays the whole
+    pipeline including the Lloyd fit). ``dtype`` as in
+    :func:`brute_force_topk`."""
+    np_dtype = np.float64 if dtype == "float64" else np.float32
     spark = corpus.sparkSession
-    sample_rows = corpus.select(vec_col).where(F.col(vec_col).isNotNull()) \
-        .limit(sample_size).collect()
+    if fit == "det":
+        sample_rows = (corpus.select(id_col, vec_col)
+                       .where(F.col(vec_col).isNotNull())
+                       .orderBy(id_col).limit(sample_size).collect())
+    else:
+        sample_rows = corpus.select(vec_col).where(F.col(vec_col).isNotNull()) \
+            .limit(sample_size).collect()
     if not sample_rows:
         return spark.createDataFrame([], f"query_id long, {id_col} long, score double")
-    sample = np.stack([r[vec_col] for r in sample_rows]).astype(np.float32)
+    sample = np.stack([r[vec_col] for r in sample_rows]).astype(np_dtype)
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    cent = _fit_centroids(sample, n_centroids, kmeans_iters, seed)
+    if fit == "det":
+        cent = _fit_centroids_det(sample, n_centroids, kmeans_iters)
+    else:
+        cent = _fit_centroids(sample, n_centroids, kmeans_iters, seed)
 
-    q = np.asarray(queries, dtype=np.float32)
+    q = np.asarray(queries, dtype=np_dtype)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    probe = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, : min(n_probe, len(cent))]
     probe_rows = [(int(qi), int(c)) for qi in range(len(qn)) for c in probe[qi]]
     probe_df = spark.createDataFrame(probe_rows, "query_id long, ivf_cell int")
 
-    assigned = ivf_assign(corpus, cent, vec_col)
+    assigned = ivf_assign(corpus, cent, vec_col, dtype=dtype)
     candidates = assigned.join(F.broadcast(probe_df), on="ivf_cell")
 
     qb = spark.sparkContext.broadcast(qn)
@@ -501,7 +565,7 @@ def ivf_topk(
     @F.pandas_udf("double")
     def _score(qids: pd.Series, vecs: pd.Series) -> pd.Series:
         qm = qb.value
-        mat = np.stack(vecs.to_numpy()).astype(np.float32)
+        mat = np.stack(vecs.to_numpy()).astype(np_dtype)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sel = qm[qids.to_numpy()]
         return pd.Series(np.einsum("ij,ij->i", sel, mat).astype(np.float64))

@@ -394,3 +394,43 @@ def test_semantic_contamination_null_first_vector(spark):
     with pytest.raises(ValueError, match="null or ragged"):
         semantic_contamination(corpus, bench, bench_id_col="bench_id",
                                bench_vec_col="embedding")
+
+
+def test_ivf_det_fit_recall_and_determinism(spark, emb):
+    """The RNG-free fit mode (fit="det" — the hard-oracle path) keeps
+    IVF recall, and two runs produce identical rows (the property that
+    lets the DuckDB oracle replay the whole pipeline)."""
+    from feathr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    queries = [r["embedding"] for r in emb.where(F.col("vec_id") < 5)
+               .orderBy("vec_id").collect()]
+    exact = brute_force_topk(emb, queries, k=5, dtype="float64")
+    a1 = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8,
+                  fit="det", dtype="float64")
+    a2 = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8,
+                  fit="det", dtype="float64")
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    s1 = {(r["query_id"], r["vec_id"], round(r["score"], 9))
+          for r in a1.collect()}
+    s2 = {(r["query_id"], r["vec_id"], round(r["score"], 9))
+          for r in a2.collect()}
+    assert s1 == s2
+    recall = len(ex & {(q, v) for q, v, _ in s1}) / len(ex)
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_lsh_float64_matches_float32_buckets(spark, emb):
+    """float64 bucketing (the oracle mode) agrees with float32 on
+    virtually every row — the sign decisions differ only for dots
+    within float32 rounding of zero."""
+    from feathr_spark.operators.similarity import embedding_lsh_buckets
+
+    b32 = embedding_lsh_buckets(emb, 64, n_bits=8, seed=7).select(
+        "vec_id", F.col("lsh_bucket").alias("b32"))
+    b64 = embedding_lsh_buckets(emb, 64, n_bits=8, seed=7,
+                                dtype="float64").select(
+        "vec_id", F.col("lsh_bucket").alias("b64"))
+    j = b32.join(b64, "vec_id")
+    n = j.count()
+    same = j.where(F.col("b32") == F.col("b64")).count()
+    assert same / n >= 0.99, f"{same}/{n}"
