@@ -504,31 +504,45 @@ def minhash_lsh_dedup(
         pairs = lsh_candidate_pairs(fp, "minhash", id_col, bands, rows)
         verified = pairs.where(minhash_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold) \
             .select("id_a", "id_b")
-    verified = verified.persist()  # reused: count + (collect | rounds)
-    verified.count()
-    fp.unpersist()  # verified is materialized; fp no longer read
+    verified = verified.persist()  # reused: decision-collect | rounds
     nodes = df.select(F.col(id_col).alias("id"))
+    # fp is released INSIDE _cluster_labels, after its first action has
+    # materialized what the chosen path needs (fast path: the collected
+    # edges themselves; fixpoint path: the fully-cached verified frame)
     labels = _cluster_labels(verified, nodes, cc_broadcast_threshold,
-                             max_cc_rounds)
+                             max_cc_rounds, release_after=(fp,))
     return labels.withColumnRenamed("id", id_col).withColumnRenamed("rep", "cluster_rep")
 
 
 def _cluster_labels(verified: DataFrame, nodes: DataFrame,
-                    cc_broadcast_threshold: int, max_cc_rounds: int) -> DataFrame:
-    """(id, rep) component labels over a PERSISTED+MATERIALIZED verified
-    edge frame (columns id_a, id_b) for every row of ``nodes`` (column
-    id; untouched nodes label themselves). Small edge sets are solved by
-    a driver union-find (Arrow collect of two flat id columns) and joined
+                    cc_broadcast_threshold: int, max_cc_rounds: int,
+                    release_after: tuple = ()) -> DataFrame:
+    """(id, rep) component labels over a PERSISTED verified edge frame
+    (columns id_a, id_b) for every row of ``nodes`` (column id;
+    untouched nodes label themselves). Small edge sets are solved by a
+    driver union-find (Arrow collect of two flat id columns) and joined
     back broadcast; larger ones run the distributed fixpoint. Owns the
-    unpersist of ``verified``. The RETURNED labels frame is
-    persisted+materialized on both paths (registered with
+    unpersist of ``verified`` and of every frame in ``release_after``
+    (upstream caches the verified computation reads — e.g. the
+    fingerprint table), released as soon as the chosen path no longer
+    needs them. The RETURNED labels frame is persisted+materialized on
+    both paths (registered with
     :func:`feathr_spark.session.track_cache`), so callers may unpersist
-    their own upstream caches (e.g. the fingerprint table ``nodes``
-    derives from) without triggering a signature recompute at their
-    first downstream action."""
-    n_edges = verified.count()
-    if n_edges <= cc_broadcast_threshold:
-        pdf = verified.select("id_a", "id_b").toPandas()
+    their own upstream caches without triggering a signature recompute
+    at their first downstream action.
+
+    The path decision and the fast path's edge fetch are FUSED into one
+    Spark action (``limit(threshold+1).toPandas()`` — VERDICT r4 item
+    6): when every edge fits the threshold the collected frame IS the
+    edge list, so the common small-edge case runs exactly two jobs
+    (decision-collect + label materialization) instead of the former
+    four (count, count, collect, materialize)."""
+    head = verified.select("id_a", "id_b")         .limit(cc_broadcast_threshold + 1).toPandas()
+    if len(head) <= cc_broadcast_threshold:
+        # the limit covered every edge: head is the complete edge list
+        for f in release_after:
+            f.unpersist()
+        pdf = head
         verified.unpersist()
         mapping = _unionfind_labels(zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()))
         spark = nodes.sparkSession
@@ -545,6 +559,11 @@ def _cluster_labels(verified: DataFrame, nodes: DataFrame,
         labels = track_cache(labels.persist())
         labels.count()  # cut lineage to nodes' upstream caches
     else:
+        # the limit short-circuited: fully materialize the verified cache
+        # BEFORE dropping the upstream caches it computes from
+        verified.count()
+        for f in release_after:
+            f.unpersist()
         edges = verified.unionByName(
             verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         ).persist()  # reused every propagation round — never recompute the LSH DAG
