@@ -2324,6 +2324,71 @@ def q_fds_convert_2d(spark, sf_dir):
     )
 
 
+
+def q_fds_convert_3d(spark, sf_dir):
+    """Rank-3 FDS tensor encoding (general FDSConversionUtils case, new
+    r5: fds.sparse_tensor_type/_sorted_sparse_nd — one indices{i} array
+    per dimension, any rank, per tensorTypeToDataFrameSchema
+    FeaturizedDatasetUtils.scala:364-390). Exercises a depth-3 nested
+    term map (all dims numeric-sorted), rank-3 COO rows with lexical
+    dim0 + numeric dim1 + lexical dim2, and a 2x1x2 dense block. Pure
+    Catalyst projection, zero shuffle; flattened to scalars for the
+    driver comparator."""
+    from feathr_spark.functions.fds import to_fds
+
+    c = _t(spark, sf_dir, "customer")
+    cust = F.col("c_custkey")
+    raw = c.select(
+        "c_custkey",
+        # depth-3 term map: outer {c%3, "9"} numeric, mid {"2","1"},
+        # inner {c%5, "4"} — numeric sort on every dimension
+        F.create_map(
+            (cust % 3).cast("string"),
+            F.create_map(F.lit("2"),
+                         F.create_map((cust % 5).cast("string"),
+                                      (cust % 7).cast("double"))),
+            F.lit("9"),
+            F.create_map(F.lit("1"),
+                         F.create_map(F.lit("4"),
+                                      (cust % 11).cast("double"))),
+        ).alias("tv3"),
+        # rank-3 COO: dim0 has 'b' -> lexical; dim1 all-numeric; dim2
+        # lexical but never consulted ((d0, d1) is unique)
+        F.array(
+            F.struct(F.lit("b").alias("d0"),
+                     (cust % 4).cast("string").alias("d1"),
+                     F.lit("x").alias("d2"), F.lit(1.0).alias("v")),
+            F.struct(F.concat(F.lit("a"),
+                              (cust % 2).cast("string")).alias("d0"),
+                     F.lit("5").alias("d1"), F.lit("z").alias("d2"),
+                     (cust % 5).cast("double").alias("v")),
+            F.struct(F.lit("b").alias("d0"), F.lit("10").alias("d1"),
+                     F.lit("y").alias("d2"), F.lit(2.0).alias("v")),
+        ).alias("coo3"),
+        # dense rank-3: 2x1x2 nested arrays
+        F.array(F.array(F.array(F.col("c_acctbal"), cust.cast("double"))),
+                F.array(F.array((cust % 7).cast("double"),
+                                (cust % 9).cast("double")))).alias("dense3"),
+    )
+    out, _types = to_fds(raw, ["tv3", "coo3", "dense3"])
+    assert _types == {"tv3": "SPARSE_TENSOR_3D", "coo3": "SPARSE_TENSOR_3D",
+                      "dense3": "DENSE_TENSOR_3D"}, _types
+    cols = ["c_custkey"]
+    for i in range(3):
+        for j in range(2):
+            cols.append(F.col(f"tv3.indices{i}")[j].alias(f"tv_i{i}_{j}"))
+    cols += [F.col("tv3")["values"][j].alias(f"tv_v_{j}") for j in range(2)]
+    for i in range(3):
+        for j in range(3):
+            cols.append(F.col(f"coo3.indices{i}")[j].alias(f"coo_i{i}_{j}"))
+    cols += [F.col("coo3")["values"][j].alias(f"coo_v_{j}") for j in range(3)]
+    cols += [F.col("dense3")[0][0][0].alias("d_000"),
+             F.col("dense3")[0][0][1].alias("d_001"),
+             F.col("dense3")[1][0][0].alias("d_100"),
+             F.col("dense3")[1][0][1].alias("d_101")]
+    return out.select(*cols)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Full-corpus distributed Lloyd k-means, k=4, two update rounds,
     min-id init — replayed EXACTLY by the unrolled DuckDB oracle.
@@ -2713,6 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "rolling_stats": q_rolling_stats,
         "tpch_q1": q_tpch_q1,
+        # -- new in round 5 (past the cap; repo-harness green) -------------
+        "fds_convert_3d": q_fds_convert_3d,
     }
 
 
@@ -3143,6 +3210,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.c_custkey AS FLOAT) AS d_01,
                    CAST(b.v1 AS FLOAT) AS d_10,
                    CAST(b.dv3 AS FLOAT) AS d_11
+            FROM base b JOIN tv USING (c_custkey) JOIN coo USING (c_custkey)
+        """,
+        "fds_convert_3d": """
+            WITH base AS (
+                SELECT c_custkey, c_acctbal,
+                       CAST(c_custkey % 3 AS VARCHAR) AS ok1,
+                       CAST(c_custkey % 5 AS VARCHAR) AS ik1,
+                       CAST(c_custkey % 7 AS DOUBLE) AS v1,
+                       CAST(c_custkey % 11 AS DOUBLE) AS v2,
+                       CAST(c_custkey % 4 AS VARCHAR) AS cd1,
+                       'a' || CAST(c_custkey % 2 AS VARCHAR) AS ad0,
+                       CAST(c_custkey % 5 AS DOUBLE) AS cv2,
+                       CAST(c_custkey % 7 AS DOUBLE) AS d10,
+                       CAST(c_custkey % 9 AS DOUBLE) AS d11
+                FROM customer
+            ), tv AS (
+                SELECT c_custkey, list_sort([
+                    struct_pack(s0 := CAST(ok1 AS DOUBLE),
+                                k0 := ok1, k1 := '2', k2 := ik1,
+                                v := CAST(v1 AS FLOAT)),
+                    struct_pack(s0 := 9.0,
+                                k0 := '9', k1 := '1', k2 := '4',
+                                v := CAST(v2 AS FLOAT))
+                ]) AS e FROM base
+            ), coo AS (
+                SELECT c_custkey, list_sort([
+                    struct_pack(s0 := 'b', s1 := CAST(cd1 AS DOUBLE),
+                                k0 := 'b', k1 := cd1, k2 := 'x',
+                                v := CAST(1.0 AS FLOAT)),
+                    struct_pack(s0 := ad0, s1 := 5.0,
+                                k0 := ad0, k1 := '5', k2 := 'z',
+                                v := CAST(cv2 AS FLOAT)),
+                    struct_pack(s0 := 'b', s1 := 10.0,
+                                k0 := 'b', k1 := '10', k2 := 'y',
+                                v := CAST(2.0 AS FLOAT))
+                ]) AS e FROM base
+            )
+            SELECT b.c_custkey,
+                   tv.e[1].k0 AS tv_i0_0, tv.e[2].k0 AS tv_i0_1,
+                   tv.e[1].k1 AS tv_i1_0, tv.e[2].k1 AS tv_i1_1,
+                   tv.e[1].k2 AS tv_i2_0, tv.e[2].k2 AS tv_i2_1,
+                   tv.e[1].v AS tv_v_0, tv.e[2].v AS tv_v_1,
+                   coo.e[1].k0 AS coo_i0_0, coo.e[2].k0 AS coo_i0_1,
+                   coo.e[3].k0 AS coo_i0_2,
+                   coo.e[1].k1 AS coo_i1_0, coo.e[2].k1 AS coo_i1_1,
+                   coo.e[3].k1 AS coo_i1_2,
+                   coo.e[1].k2 AS coo_i2_0, coo.e[2].k2 AS coo_i2_1,
+                   coo.e[3].k2 AS coo_i2_2,
+                   coo.e[1].v AS coo_v_0, coo.e[2].v AS coo_v_1,
+                   coo.e[3].v AS coo_v_2,
+                   CAST(b.c_acctbal AS FLOAT) AS d_000,
+                   CAST(b.c_custkey AS FLOAT) AS d_001,
+                   CAST(b.d10 AS FLOAT) AS d_100,
+                   CAST(b.d11 AS FLOAT) AS d_101
             FROM base b JOIN tv USING (c_custkey) JOIN coo USING (c_custkey)
         """,
         "kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64, qd=6,

@@ -28,7 +28,16 @@ map<string,numeric>         TERM_VECTOR         1-D sparse: (terms,values)
 array<struct<term,value>>   TERM_VECTOR         1-D sparse (grouped SWA
                                                 output, SlidingWindowJoin
                                                 .scala:91-101)
+array<struct<d0..dk-1,v>>   SPARSE_TENSOR_kD    rank-k sparse: k parallel
+                                                indices arrays + values
+map<..depth k.., numeric>   SPARSE_TENSOR_kD    same (nested term maps)
+array^k<numeric>            DENSE_TENSOR_kD     rank-k dense: k-nested
+                                                float arrays
 ==========================  ==================  ==========================
+
+Rank-k (k >= 2) follows FeaturizedDatasetUtils.tensorTypeToDataFrameSchema
+(`FeaturizedDatasetUtils.scala:364-390`) — the general multi-dimensional
+case, any rank, not just the rank-2 shortcut (new in r5).
 
 Sparse-tensor term ordering follows FDSConversionUtils.scala:405-427:
 if EVERY term parses as a float the entries sort by the numeric value of
@@ -41,6 +50,7 @@ rawToFDSRow short-circuit, line 35).
 
 from __future__ import annotations
 
+import re
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -65,11 +75,35 @@ TERM_VECTOR = "TERM_VECTOR"
 SPARSE_TENSOR_2D = "SPARSE_TENSOR_2D"
 DENSE_TENSOR_2D = "DENSE_TENSOR_2D"
 
+
+def sparse_tensor_type(rank: int) -> str:
+    """FeatureTypes name for a rank-k sparse tensor (k >= 2): the
+    general FDSConversionUtils case, not just the rank-2 shortcut."""
+    return f"SPARSE_TENSOR_{rank}D"
+
+
+def dense_tensor_type(rank: int) -> str:
+    return f"DENSE_TENSOR_{rank}D"
+
+
+def sparse_ddl(rank: int) -> str:
+    """Rank-k sparse FDS layout: k parallel coordinate arrays + values
+    (tensorTypeToDataFrameSchema, FeaturizedDatasetUtils.scala:364-390 —
+    one indices{i} array per dimension, any rank)."""
+    idx = ", ".join(f"indices{i}: array<string>" for i in range(rank))
+    return f"struct<{idx}, values: array<float>>"
+
+
+def dense_ddl(rank: int) -> str:
+    """Rank-k dense FDS layout: k-nested float arrays (getNestArrays,
+    FeaturizedDatasetUtils.scala:364-373)."""
+    return "array<" * rank + "float" + ">" * rank
+
+
 # FeaturizedDatasetUtils.TERM_VECTOR_FDS_DATA_TYPE
 FDS_SPARSE_DDL = "struct<indices0: array<string>, values: array<float>>"
 # rank-2 sparse COO layout per tensorTypeToDataFrameSchema
-FDS_SPARSE_2D_DDL = ("struct<indices0: array<string>, "
-                     "indices1: array<string>, values: array<float>>")
+FDS_SPARSE_2D_DDL = sparse_ddl(2)
 
 
 def infer_feature_type(dtype: T.DataType) -> str:
@@ -88,24 +122,31 @@ def infer_feature_type(dtype: T.DataType) -> str:
     if isinstance(dtype, T.ArrayType):
         if isinstance(dtype.elementType, T.NumericType):
             return DENSE_VECTOR
-        if isinstance(dtype.elementType, T.ArrayType) and isinstance(
-                dtype.elementType.elementType, T.NumericType):
-            return DENSE_TENSOR_2D  # rank-2 dense: nested numeric arrays
+        # rank-k dense: k-nested numeric arrays
+        depth, el = 1, dtype.elementType
+        while isinstance(el, T.ArrayType):
+            depth, el = depth + 1, el.elementType
+        if depth >= 2 and isinstance(el, T.NumericType):
+            return dense_tensor_type(depth)
         if isinstance(dtype.elementType, T.StructType) and len(
                 dtype.elementType.fields) == 2:
             return TERM_VECTOR  # grouped SWA output: array<struct<term,value>>
         if (isinstance(dtype.elementType, T.StructType)
-                and len(dtype.elementType.fields) == 3
-                and isinstance(dtype.elementType.fields[2].dataType,
+                and len(dtype.elementType.fields) >= 3
+                and isinstance(dtype.elementType.fields[-1].dataType,
                                T.NumericType)):
-            # COO rows: array<struct<d0,d1,value>> — only when the third
-            # field is numeric (a non-numeric value field would cast to
-            # all-null tensor values; such structs stay CATEGORICAL_SET,
-            # the pre-rank-2 inference)
-            return SPARSE_TENSOR_2D
+            # COO rows: array<struct<d0..d{k-1},value>> of any rank —
+            # only when the LAST field is numeric (a non-numeric value
+            # field would cast to all-null tensor values; such structs
+            # stay CATEGORICAL_SET, the pre-rank-2 inference)
+            return sparse_tensor_type(len(dtype.elementType.fields) - 1)
         return CATEGORICAL_SET
     if isinstance(dtype, T.MapType) and isinstance(dtype.valueType, T.MapType):
-        return SPARSE_TENSOR_2D  # nested term map: map<d0, map<d1, value>>
+        # nested term map: map<d0, map<d1, ... numeric>> of any depth
+        depth, vt = 2, dtype.valueType.valueType
+        while isinstance(vt, T.MapType):
+            depth, vt = depth + 1, vt.valueType
+        return sparse_tensor_type(depth)
     return TERM_VECTOR  # map / anything else — the reference's default
 
 
@@ -132,15 +173,21 @@ def _sorted_sparse(entries: Column) -> Column:
     )
 
 
-def _sorted_sparse_2d(entries: Column) -> Column:
-    """Rank-2 COO ordering: entries sort lexicographically by
-    (dim0, dim1), each dimension independently applying the reference's
-    all-or-nothing term rule (FDSConversionUtils.scala:405-427 — float
-    order when EVERY term of that dimension parses as a float, else
-    lexical), then split into the three parallel FDS arrays
+def _sorted_sparse_nd(entries: Column, rank: int) -> Column:
+    """Rank-k COO ordering (general FDSConversionUtils case): entries
+    (structs ``k0..k{rank-1}, v``) sort lexicographically by
+    (dim0, ..., dim{k-1}), each dimension independently applying the
+    reference's all-or-nothing term rule (FDSConversionUtils.scala:
+    405-427 — float order when EVERY term of that dimension parses as a
+    float, else lexical), then split into the k+1 parallel FDS arrays
     (tensorTypeToDataFrameSchema, FeaturizedDatasetUtils.scala:377-384)."""
-    num0 = F.forall(entries, lambda e: e["k0"].try_cast("float").isNotNull())
-    num1 = F.forall(entries, lambda e: e["k1"].try_cast("float").isNotNull())
+    def _all_numeric(i: int) -> Column:
+        # factory closure: a default-arg lambda would read as a 2-arg
+        # higher-order function to PySpark's arity inspection
+        return F.forall(entries,
+                        lambda e: e[f"k{i}"].try_cast("float").isNotNull())
+
+    nums = [_all_numeric(i) for i in range(rank)]
 
     def cmp_term(a: Column, b: Column, numeric: Column) -> Column:
         fa, fb = a.try_cast("float"), b.try_cast("float")
@@ -151,16 +198,45 @@ def _sorted_sparse_2d(entries: Column) -> Column:
         return F.when(numeric, as_num).otherwise(as_str)
 
     def cmp(a, b):
-        c0 = cmp_term(a["k0"], b["k0"], num0)
-        return F.when(c0 != 0, c0).otherwise(
-            cmp_term(a["k1"], b["k1"], num1))
+        expr = cmp_term(a[f"k{rank-1}"], b[f"k{rank-1}"], nums[rank - 1])
+        for i in range(rank - 2, -1, -1):
+            ci = cmp_term(a[f"k{i}"], b[f"k{i}"], nums[i])
+            expr = F.when(ci != 0, ci).otherwise(expr)
+        return expr
 
     ordered = F.array_sort(entries, cmp)
+
+    def _dim(i: int) -> Column:
+        return F.transform(ordered, lambda e: e[f"k{i}"]).alias(f"indices{i}")
+
     return F.struct(
-        F.transform(ordered, lambda e: e["k0"]).alias("indices0"),
-        F.transform(ordered, lambda e: e["k1"]).alias("indices1"),
+        *[_dim(i) for i in range(rank)],
         F.transform(ordered, lambda e: e["v"]).alias("values"),
     )
+
+
+def _sorted_sparse_2d(entries: Column) -> Column:
+    """Rank-2 shortcut over :func:`_sorted_sparse_nd` (kept for the
+    pre-r5 call sites and the 2-D docs pointer)."""
+    return _sorted_sparse_nd(entries, 2)
+
+
+def _nested_map_entries(col: Column, rank: int) -> Column:
+    """Flatten a depth-``rank`` nested term map into COO entry structs
+    ``k0..k{rank-1}, v`` (pure Catalyst, recursive flatten/transform)."""
+    if rank == 1:
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(e["key"].cast("string").alias("k0"),
+                               e["value"].cast("float").alias("v")))
+    return F.flatten(F.transform(
+        F.map_entries(col),
+        lambda o: F.transform(
+            _nested_map_entries(o["value"], rank - 1),
+            lambda i: F.struct(
+                o["key"].cast("string").alias("k0"),
+                *[i[f"k{j}"].alias(f"k{j + 1}") for j in range(rank - 1)],
+                i["v"].alias("v")))))
 
 
 def fds_column(col: Column, dtype: T.DataType,
@@ -174,36 +250,34 @@ def fds_column(col: Column, dtype: T.DataType,
         return col.cast("float")
     if ftype == DENSE_VECTOR:
         return col.cast("array<float>")
-    if ftype == DENSE_TENSOR_2D:
-        # rank-2 dense = nested arrays (getNestArrays,
+    m_dense = re.match(r"DENSE_TENSOR_(\d+)D$", ftype)
+    if m_dense:
+        # rank-k dense = k-nested arrays (getNestArrays,
         # FeaturizedDatasetUtils.scala:364-373,384-387)
-        return col.cast("array<array<float>>")
-    if ftype == SPARSE_TENSOR_2D:
+        return col.cast(dense_ddl(int(m_dense.group(1))))
+    m_sparse = re.match(r"SPARSE_TENSOR_(\d+)D$", ftype)
+    if m_sparse:
+        rank = int(m_sparse.group(1))
         if isinstance(dtype, T.MapType) and isinstance(dtype.valueType,
                                                        T.MapType):
-            entries = F.flatten(F.transform(
-                F.map_entries(col),
-                lambda o: F.transform(
-                    F.map_entries(o["value"]),
-                    lambda i: F.struct(
-                        o["key"].cast("string").alias("k0"),
-                        i["key"].cast("string").alias("k1"),
-                        i["value"].cast("float").alias("v")))))
+            entries = _nested_map_entries(col, rank)
         elif isinstance(dtype, T.ArrayType) and isinstance(
                 dtype.elementType, T.StructType) and len(
-                dtype.elementType.fields) == 3:
-            f0, f1, f2 = (f.name for f in dtype.elementType.fields)
+                dtype.elementType.fields) == rank + 1:
+            names = [f.name for f in dtype.elementType.fields]
             entries = F.transform(
-                col, lambda e: F.struct(e[f0].cast("string").alias("k0"),
-                                        e[f1].cast("string").alias("k1"),
-                                        e[f2].cast("float").alias("v")))
+                col, lambda e: F.struct(
+                    *[e[names[i]].cast("string").alias(f"k{i}")
+                      for i in range(rank)],
+                    e[names[rank]].cast("float").alias("v")))
         else:
             raise ValueError(
-                f"cannot encode {dtype.simpleString()} as SPARSE_TENSOR_2D "
-                f"(expected map<_,map<_,numeric>> or array<struct<d0,d1,v>>)")
-        converted = _sorted_sparse_2d(entries)
+                f"cannot encode {dtype.simpleString()} as "
+                f"SPARSE_TENSOR_{rank}D (expected a depth-{rank} nested "
+                f"map or array<struct<d0..d{rank-1},v>>)")
+        converted = _sorted_sparse_nd(entries, rank)
         return F.when(col.isNull(),
-                      F.lit(None).cast(FDS_SPARSE_2D_DDL)).otherwise(converted)
+                      F.lit(None).cast(sparse_ddl(rank))).otherwise(converted)
     if ftype == CATEGORICAL:
         # single-term vector ([value], [1.0f]) — FDSConversionUtils.scala:340-342
         converted = F.struct(

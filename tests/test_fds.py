@@ -169,3 +169,62 @@ def test_rank2_zero_shuffle_plan(spark):
     out, _ = fds.to_fds(df, ["tv"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # rank-2 is still a pure projection
+
+
+def test_rank3_sparse_and_dense(spark):
+    """Rank>=3 tensors (general FDSConversionUtils case, r5): COO
+    array<struct<d0,d1,d2,v>>, depth-3 nested term maps, and 3-nested
+    dense arrays — per-dimension all-or-nothing term ordering,
+    hierarchical (d0, d1, d2) sort, null -> null."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,)], "id int").select(
+        "id",
+        F.when(F.col("id") == 1, F.array(
+            F.struct(F.lit("b").alias("d0"), F.lit("10").alias("d1"),
+                     F.lit("x").alias("d2"), F.lit(3.0).alias("v")),
+            F.struct(F.lit("b").alias("d0"), F.lit("2").alias("d1"),
+                     F.lit("y").alias("d2"), F.lit(1.0).alias("v")),
+            F.struct(F.lit("a").alias("d0"), F.lit("5").alias("d1"),
+                     F.lit("z").alias("d2"), F.lit(2.0).alias("v")),
+        )).alias("coo3"),
+        F.create_map(
+            F.lit("2"), F.create_map(F.lit("1"),
+                                     F.create_map(F.lit("9"), F.lit(1.5))),
+            F.lit("10"), F.create_map(F.lit("1"),
+                                      F.create_map(F.lit("3"), F.lit(2.5))),
+        ).alias("map3"),
+        F.array(F.array(F.array(F.lit(1.0)), F.array(F.lit(2.0)))).alias("d3"),
+    )
+    out, types = fds.to_fds(df, ["coo3", "map3", "d3"])
+    assert types == {"coo3": fds.SPARSE_TENSOR_3D if hasattr(fds, "SPARSE_TENSOR_3D") else "SPARSE_TENSOR_3D",
+                     "map3": "SPARSE_TENSOR_3D", "d3": "DENSE_TENSOR_3D"}
+    rows = {r["id"]: r for r in out.collect()}
+    c = rows[1]["coo3"]
+    # dim0 lexical (a < b), then dim1 NUMERIC within b (2 < 10)
+    assert c["indices0"] == ["a", "b", "b"]
+    assert c["indices1"] == ["5", "2", "10"]
+    assert c["indices2"] == ["z", "y", "x"]
+    assert c["values"] == [2.0, 1.0, 3.0]
+    assert rows[2]["coo3"] is None  # null raw -> null tensor
+    m = rows[1]["map3"]
+    # outer keys both float-parseable -> numeric order: 2 < 10
+    assert m["indices0"] == ["2", "10"]
+    assert m["indices2"] == ["9", "3"]
+    assert m["values"] == [1.5, 2.5]
+    assert rows[1]["d3"] == [[[1.0], [2.0]]]
+
+
+def test_rank4_sparse_roundtrip(spark):
+    """Arbitrary rank: a rank-4 COO column converts with 4 coordinate
+    arrays (no special-casing beyond the rank regex)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.array(F.struct(
+        F.lit("1").alias("a"), F.lit("2").alias("b"),
+        F.lit("3").alias("c"), F.lit("4").alias("d"),
+        F.lit(7.0).alias("v"))).alias("t4"))
+    out, types = fds.to_fds(df, ["t4"])
+    assert types == {"t4": "SPARSE_TENSOR_4D"}
+    r = out.collect()[0]["t4"]
+    assert r["indices3"] == ["4"] and r["values"] == [7.0]
