@@ -209,6 +209,25 @@ def order_independent_checksum(df: DataFrame) -> int:
     return int(out["s"]) % (1 << 64) if out["s"] is not None else 0
 
 
+def _publish_run_metrics(sink_path: str, mode: str, report: dict,
+                         inputs: Sequence[str] = ()) -> None:
+    """Persist the run-level report as ``<sink>/_run_metrics.json``
+    (north rule: jobs materialize with per-partition lineage manifests
+    AND metrics). Atomic tmp+rename through the Hadoop FS layer;
+    underscore-prefixed so data readers skip it; last run wins —
+    per-partition history lives in the manifests themselves."""
+    doc = dict(report, mode=mode, inputs=list(inputs),
+               completed_at_unix=int(time.time()), engine="feathr_spark")
+    fsio.write_text_atomic(sink_path.rstrip("/") + "/_run_metrics.json",
+                           json.dumps(doc, indent=1, sort_keys=True))
+
+
+def read_run_metrics(sink_path: str) -> Optional[dict]:
+    """The last run's published metrics for a sink, or None."""
+    p = sink_path.rstrip("/") + "/_run_metrics.json"
+    return json.loads(fsio.read_text(p)) if fsio.exists(p) else None
+
+
 def _manifest_path(part_dir: str) -> str:
     # underscore prefix: Spark/Hadoop readers skip _-prefixed files, so
     # the manifest can live inside the partition dir it commits.
@@ -322,7 +341,7 @@ def materialize(
         results = [_one(it) for it in todo]
     written = [c for c, _ in results]
     total_rows = sum(n for _, n in results)
-    return {
+    report = {
         "written": written,
         "skipped": skipped,
         "metrics": {
@@ -332,6 +351,9 @@ def materialize(
             "wall_s": round(time.monotonic() - t_run, 3),
         },
     }
+    _publish_run_metrics(sink_path, "materialize", report,
+                         inputs=list(inputs) + list(spec.extra_inputs))
+    return report
 
 
 def load_materialized(spark: SparkSession, sink_path: str) -> DataFrame:

@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feathr_spark import fsio
-from feathr_spark.materialize import _commit, is_committed, read_manifest
+from feathr_spark.materialize import (_commit, _publish_run_metrics,
+                                      is_committed, read_manifest)
 from feathr_spark.operators.corpus import shard_shuffle
 
 
@@ -171,7 +172,7 @@ def write_shards(
             })
             written.append(k)
             total_rows += n
-    return {
+    report = {
         "written": written,
         "skipped": skipped,
         "metrics": {
@@ -182,6 +183,8 @@ def write_shards(
             "wall_s": round(time.monotonic() - t_run, 3),
         },
     }
+    _publish_run_metrics(sink_path, "write_shards", report, inputs=inputs)
+    return report
 
 
 def load_shards(spark: SparkSession, sink_path: str,

@@ -192,3 +192,18 @@ def test_checksum_order_independent(spark):
     assert order_independent_checksum(a) == order_independent_checksum(b)
     c = spark.createDataFrame([(1, "x"), (2, "y"), (3, "w")], "i int, s string")
     assert order_independent_checksum(a) != order_independent_checksum(c)
+
+
+def test_run_metrics_published(spark, fact, tmp_path):
+    """North rule: a run publishes its metrics next to the sink (atomic,
+    underscore-prefixed, readable back through the Hadoop FS layer)."""
+    from feathr_spark.materialize import read_run_metrics
+
+    sink = str(tmp_path / "gen_metrics")
+    report = materialize(fact, SPEC, sink,
+                         BackfillTime(T0 + 3600, T0 + 7200, 3600))
+    m = read_run_metrics(sink)
+    assert m is not None and m["mode"] == "materialize"
+    assert m["metrics"] == report["metrics"]
+    # data readers must not trip over it
+    assert spark.read.parquet(sink).count() > 0
