@@ -122,8 +122,10 @@ def compact_parquet(
         if files_per_val == 1:
             out = df.repartition(max(n_vals, 1), *pcols)
         else:
-            spread = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns]))
-                      % files_per_val)
+            # pmod, not abs(hash) % n: abs(Long.MIN_VALUE) throws under
+            # ANSI mode and % keeps the sign
+            spread = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                            F.lit(files_per_val))
             out = (df.withColumn("__spread", spread)
                      .repartition(n_vals * files_per_val, *pcols, "__spread")
                      .drop("__spread"))
