@@ -143,9 +143,16 @@ def write_text_atomic(path: str, text: str,
     observe a torn write. Hadoop rename refuses an existing target, so
     an existing ``path`` is deleted first; a crash in the gap leaves NO
     file — for commit markers that reads as "uncommitted" and the
-    partition is safely rewritten on resume (never half-trusted)."""
+    partition is safely rewritten on resume (never half-trusted).
+    The tmp name is writer-unique (pid + thread), so CONCURRENT writers
+    to the same path never interleave into one tmp file — the last
+    completed rename wins with one writer's complete document (the
+    mkstemp discipline of the pre-fsio local commit path). A crash can
+    strand a ``.tmp.*`` sibling; it is never read (readers open exactly
+    ``path``) and the next successful writer's delete+rename ignores it."""
     spark = spark or _active()
-    tmp = path + ".tmp"
+    import threading
+    tmp = f"{path}.tmp.{os.getpid()}-{threading.get_ident()}"
     if spark is None:
         lp, ltmp = _local_part(path), _local_part(tmp)
         with open(ltmp, "w") as fh:
@@ -162,6 +169,13 @@ def write_text_atomic(path: str, text: str,
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(pt, p):
+        # a concurrent writer can win the delete+rename race (Hadoop
+        # rename refuses an existing target): if a complete document is
+        # now in place, drop our tmp and accept theirs — the invariant
+        # is "path holds ONE writer's complete document", not "ours"
+        if fs.exists(p):
+            fs.delete(pt, False)
+            return
         raise IOError(f"rename {tmp} -> {path} failed")
 
 

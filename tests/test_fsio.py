@@ -61,3 +61,57 @@ def test_hadoop_path_matches_posix(spark, tmp_path):
     assert fsio.exists(d + "/k.json", spark)
     assert fsio.delete(d, recursive=True, spark=spark)
     assert not fsio.exists(d, spark)
+
+
+def test_concurrent_atomic_writers_never_tear(no_jvm, tmp_path):
+    """Two writers racing the same path: the survivor is always ONE
+    writer's complete document (writer-unique tmp names — a shared tmp
+    name would let writer A rename writer B's half-written file)."""
+    import json
+    import threading
+
+    target = str(tmp_path / "m.json")
+    docs = [json.dumps({"writer": i, "pad": "x" * 5000}) for i in range(2)]
+    errs = []
+
+    def w(i):
+        try:
+            for _ in range(50):
+                fsio.write_text_atomic(target, docs[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert fsio.read_text(target) in docs  # complete, untorn
+
+
+def test_concurrent_writers_hadoop_path(spark, tmp_path):
+    """Same race through the real Hadoop FileSystem: losers of the
+    delete+rename race accept the winner's complete document instead of
+    raising; no torn file, no stray failure."""
+    import json
+    import threading
+
+    target = "file://" + str(tmp_path / "h.json")
+    docs = [json.dumps({"writer": i, "pad": "y" * 2000}) for i in range(2)]
+    errs = []
+
+    def w(i):
+        try:
+            for _ in range(20):
+                fsio.write_text_atomic(target, docs[i], spark)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert fsio.read_text(target, spark) in docs
