@@ -32,8 +32,16 @@ MvelContextUDFs):
   cast_double, cast_float, cast_int, get_data_type, getTerms,
   getTopKTerms, getTopTerm, distinct, flatten, cosineSimilarity
 
-MVEL projections/folds (``([... in ...])``), ``import``, and inline
-list/map construction are NOT supported and raise
+- MVEL projections (r5): ``(P in coll)`` -> ``transform(coll, P)``,
+  with filter ``(P in coll if F)`` -> ``transform(filter(coll, F), P)``;
+  the element variable ``$`` maps to the Spark lambda variable, and a
+  single-entry map-literal projection ``([$.k : $.v] in coll ...)``
+  (the reference's testMVELLoopExpFeature.conf shape) emits
+  ``map_from_entries`` so the feature value is one map, matching the
+  reference's term-vector coercion. Inline list ``[a, b]`` and map
+  ``[k : v, ...]`` literals emit ``array(...)`` / ``map(...)``.
+
+``import`` and nested projections remain unsupported and raise
 :class:`MvelTranslationError` — the caller should use a Spark SQL
 ``expr`` directly for those (the engine's native extractor language).
 """
@@ -102,6 +110,15 @@ def _tokenize(src: str) -> list[_Tok]:
 # ---------------------------------------------------------------------------
 # parser → SQL emitter (precedence climbing, emits SQL text directly)
 # ---------------------------------------------------------------------------
+
+# SQL keywords that break parsing when emitted as bare column names
+# (the reference's own test configs use e.g. `as` as a field name)
+_SQL_RESERVED = {
+    "as", "in", "if", "then", "else", "end", "select", "from", "where",
+    "and", "or", "not", "case", "when", "cast", "group", "order", "by",
+    "join", "on", "is", "like", "between", "distinct", "having", "union",
+    "all", "true", "false", "null", "current_date", "current_timestamp",
+}
 
 _CAST_TYPES = {
     "float": "FLOAT", "Float": "FLOAT",
@@ -204,6 +221,7 @@ class _Parser:
         self.src = src
         self.toks = _tokenize(src)
         self.i = 0
+        self._proj_depth = 0  # >0 while parsing a projection body/filter
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0) -> _Tok:
@@ -236,8 +254,8 @@ class _Parser:
         if t.kind != "eof":
             raise MvelTranslationError(
                 f"unexpected {t.text!r} at position {t.pos} in {self.src!r} "
-                "(MVEL projections, imports, and inline collections are not "
-                "supported — use a Spark SQL expr)")
+                "(MVEL imports and nested projections are not supported — "
+                "use a Spark SQL expr)")
         return sql
 
     def ternary(self) -> str:
@@ -370,6 +388,96 @@ class _Parser:
             else:
                 return sql
 
+    def _looks_like_projection(self) -> bool:
+        """True when the '(' at the cursor opens ``(P in coll [if F])``:
+        a top-level ``in`` identifier before the matching ')'."""
+        depth = 0
+        for k in range(self.i, len(self.toks)):
+            tok = self.toks[k]
+            if tok.kind == "op" and tok.text in "([":
+                depth += 1
+            elif tok.kind == "op" and tok.text in ")]":
+                depth -= 1
+                if depth == 0:
+                    return False
+            elif tok.kind == "id" and tok.text == "in" and depth == 1:
+                return True
+            elif tok.kind == "eof":
+                return False
+        return False
+
+    def _projection(self) -> str:
+        """``(P in coll)`` / ``(P in coll if F)`` -> transform/filter.
+        The element variable ``$`` binds to the Spark lambda variable;
+        a single-entry map-literal body emits map_from_entries (one map
+        per row — the reference's term-vector shape)."""
+        self.expect("(")
+        if self._proj_depth:
+            raise MvelTranslationError(
+                f"nested MVEL projections are not supported ({self.src!r})")
+        # single-entry map literal body? ([k : v] in ...)
+        map_kv = None
+        save = self.i
+        if self.peek().kind == "op" and self.peek().text == "[":
+            try:
+                self._proj_depth += 1
+                self.next()
+                k = self.ternary()
+                self.expect(":")
+                v = self.ternary()
+                self.expect("]")
+                map_kv = (k, v)
+            except MvelTranslationError:
+                self.i = save
+                map_kv = None
+            finally:
+                self._proj_depth -= 1
+        proj = None
+        if map_kv is None:
+            self._proj_depth += 1
+            proj = self.ternary()
+            self._proj_depth -= 1
+        t = self.next()
+        if not (t.kind == "id" and t.text == "in"):
+            raise MvelTranslationError(
+                f"expected 'in' at position {t.pos} in projection "
+                f"{self.src!r}")
+        coll = self.ternary()
+        filt = None
+        if self.peek().kind == "id" and self.peek().text == "if":
+            self.next()
+            self._proj_depth += 1
+            filt = self.ternary()
+            self._proj_depth -= 1
+        self.expect(")")
+        src = coll if filt is None else f"filter({coll}, __x -> ({filt}))"
+        if map_kv is not None:
+            k, v = map_kv
+            return (f"map_from_entries(transform({src}, "
+                    f"__x -> struct({k}, {v})))")
+        return f"transform({src}, __x -> {proj})"
+
+    def _collection_literal(self) -> str:
+        """Inline MVEL ``[a, b, ...]`` -> array(...), ``[k : v, ...]``
+        -> map(k, v, ...). Empty ``[]`` -> array()."""
+        self.expect("[")
+        if self.accept("]"):
+            return "array()"
+        first = self.ternary()
+        if self.accept(":"):
+            parts = [first, self.ternary()]
+            while self.accept(","):
+                parts.append(self.ternary())
+                self.expect(":")
+                parts.append(self.ternary())
+            self.expect("]")
+            return f"map({', '.join(parts)})"
+        items = [first]
+        while self.accept(","):
+            items.append(self.ternary())
+        self.expect("]")
+        return f"array({', '.join(items)})"
+
     def call_args(self) -> list[str]:
         self.expect("(")
         args: list[str] = []
@@ -453,22 +561,29 @@ class _Parser:
                         f"{t.text}() takes {lo}..{hi} args, got {len(args)} "
                         f"in {self.src!r}")
                 return tmpl.format(*args)
+            if t.text == "$":
+                if self._proj_depth == 0:
+                    raise MvelTranslationError(
+                        f"MVEL element variable '$' is only valid inside a "
+                        f"projection body/filter ({self.src!r})")
+                self.next()
+                return "__x"
             if t.text.startswith("$"):
                 raise MvelTranslationError(
-                    f"MVEL projection variables ({t.text}) are not supported "
-                    f"({self.src!r}) — use a Spark SQL expr with "
-                    "transform()/filter() for collection projections")
+                    f"unsupported MVEL variable {t.text!r} ({self.src!r})")
             self.next()
-            return f"`{t.text}`" if not t.text.isidentifier() else t.text
+            if not t.text.isidentifier() or t.text.lower() in _SQL_RESERVED:
+                return f"`{t.text}`"
+            return t.text
         if t.kind == "op" and t.text == "(":
+            if self._looks_like_projection():
+                return self._projection()
             self.next()
             inner = self.ternary()
             self.expect(")")
             return f"({inner})"
         if t.kind == "op" and t.text == "[":
-            raise MvelTranslationError(
-                f"MVEL inline lists/projections are not supported "
-                f"({self.src!r})")
+            return self._collection_literal()
         raise MvelTranslationError(
             f"unexpected {t.text or 'end of expression'!r} at position "
             f"{t.pos} in {self.src!r}")

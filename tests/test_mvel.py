@@ -47,12 +47,14 @@ def test_translations(mvel, sql):
 
 
 def test_unsupported_raises():
+    # projections and inline collection literals became SUPPORTED in r5
+    # (see test_projection_* below); imports, unknown functions/methods,
+    # and nested projections still raise
     for bad in [
-        "([$.term:$.value] in passthroughFeatures if $.name == 'f1')",
         "import java.util.*; foo()",
         "unknownFn(x)",
         "x.unknownMethod()",
-        "[1, 2, 3]",
+        "(($ in $.ys) in xs)",
     ]:
         with pytest.raises(MvelTranslationError):
             mvel_to_sql(bad)
@@ -140,3 +142,54 @@ def test_struct_navigation(spark):
     df = spark.createDataFrame([((1.0, "k"),)], "features struct<feature1:double,name:string>")
     out = df.select(mvel_column("features.feature1 + 1").alias("out")).first()["out"]
     assert out == 2.0
+
+
+def test_projection_reference_loop_exp(spark):
+    """The reference's testMVELLoopExpFeature.conf expression verbatim:
+    ([$.a_id : $.v2] in as if !($.v)) — map projection with filter over
+    an array-of-structs column named with a SQL keyword (`as`)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1,), (2,)], "id int").select(
+        "id",
+        F.array(
+            F.struct(F.lit("k1").alias("a_id"), F.lit(10.0).alias("v2"),
+                     F.lit(False).alias("v")),
+            F.struct(F.lit("k2").alias("a_id"), F.lit(20.0).alias("v2"),
+                     F.lit(True).alias("v")),
+            F.struct(F.lit("k3").alias("a_id"), F.lit(30.0).alias("v2"),
+                     F.lit(False).alias("v")),
+        ).alias("as"))
+    sql = mvel_to_sql("([$.a_id : $.v2] in as if !($.v))")
+    out = df.select("id", F.expr(sql).alias("aMap")).collect()
+    assert out[0]["aMap"] == {"k1": 10.0, "k3": 30.0}  # v=True filtered
+
+
+def test_projection_plain_and_identity(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([([1, 2, 3],)], "xs array<int>")
+    got = df.select(
+        F.expr(mvel_to_sql("($ * 2 in xs)")).alias("a"),
+        F.expr(mvel_to_sql("($ in xs if $ > 1)")).alias("b")).collect()[0]
+    assert got["a"] == [2, 4, 6]
+    assert got["b"] == [2, 3]
+
+
+def test_inline_collection_literals(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    got = df.select(
+        F.expr(mvel_to_sql("[1, 2, 3]")).alias("l"),
+        F.expr(mvel_to_sql("['a' : 1, 'b' : 2]")).alias("m")).collect()[0]
+    assert got["l"] == [1, 2, 3] and got["m"] == {"a": 1, "b": 2}
+
+
+def test_projection_errors():
+    import pytest as _pt
+    with _pt.raises(MvelTranslationError, match="nested"):
+        mvel_to_sql("(($ in $.ys) in xs)")
+    with _pt.raises(MvelTranslationError, match="only valid inside"):
+        mvel_to_sql("$.x + 1")
