@@ -206,3 +206,40 @@ def test_asof_fetch_regimes_identical(spark, sf_dir):
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     vec.unpersist()
+
+
+def test_asof_fetch_byte_cap_overrides_row_threshold(spark, sf_dir):
+    """ADVICE r4: the broadcast regimes are capped by estimated BYTES,
+    not just rows — an array-typed payload (2 KB/row estimate) under
+    the row threshold but over broadcast_max_bytes must fall back to
+    the shuffle join-back, while a tight byte budget kills even the
+    pairs broadcast. Results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from feathr_spark import SWAFeature, WindowSpec, asof_fetch, join_window_agg_features
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "arr", F.array(F.col("value"), F.col("value") + 1))
+    obs = ev.select("event_id", "user_id", "ts")
+    feats = [SWAFeature("last_ts", "LATEST", "ts", WindowSpec(7 * 86400))]
+    vec = join_window_agg_features(
+        obs, ev, ["user_id"], ["user_id"], "ts", "ts", feats,
+        obs_ts_format="timestamp", fact_ts_format="timestamp").persist()
+    n = vec.where(F.col("last_ts").isNotNull()).count()
+    args = (vec, ev, ["user_id"], ["user_id"], "last_ts", "ts",
+            ["arr as last_arr"])
+    # n rows x ~2 KB payload estimate: a byte cap below n*2048 must
+    # disable the payload broadcast even though n << the row threshold
+    tight = asof_fetch(*args, broadcast_max_bytes=max(1024, n))
+    roomy = asof_fetch(*args)
+    plan_tight = tight._jdf.queryExecution().executedPlan().toString()
+    plan_roomy = roomy._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_roomy
+    # the tight cap is below even the pairs estimate -> zero broadcasts
+    assert "BroadcastHashJoin" not in plan_tight
+    ka = sorted((r["event_id"], tuple(r["last_arr"] or ()))
+                for r in tight.collect())
+    kb = sorted((r["event_id"], tuple(r["last_arr"] or ()))
+                for r in roomy.collect())
+    assert ka == kb and len(ka) > 0
+    vec.unpersist()
