@@ -22,6 +22,12 @@ the sandbox. Endpoints mirror the reference routes:
 - ``GET  /features/{name}/lineage``        — upstream+downstream
   closure (`main.py:156-159`) via
   ``FeathrClient.get_feature_lineage``
+- ``GET  /dependent/{name}``               — downstream dependents of a
+  feature (`main.py:89-93`): the features whose lineage closure
+  consumes it (derived/lookup chains)
+- ``DELETE /entity/{name}``                — delete a feature from its
+  project document, refused with 412 while dependents exist
+  (`main.py:95-107`); deleting a whole project removes its document
 - ``POST /projects``                       — create/replace a project
   document (`main.py:161-165`); body = the registry JSON document
 
@@ -128,6 +134,57 @@ class _Registry:
         return self._client_for(project).get_feature_lineage(
             f["name"], project_name=project)
 
+    def dependents(self, name: str) -> list:
+        """Features downstream of ``name`` (consume it directly or
+        transitively through derived/lookup inputs) — the reference's
+        get_dependent_entities payload reduced to feature nodes."""
+        project, f = self._find(name)
+        doc = self.read(project)
+        inputs = {d["name"]: set(d.get("inputs") or []) for d in
+                  (doc.get("derived", []) + doc.get("lookups", []))}
+        for lk in doc.get("lookups", []):
+            inputs.setdefault(lk["name"], set()).update(
+                x for x in (lk.get("base"), lk.get("expansion")) if x)
+        down, frontier = set(), {f["name"]}
+        changed = True
+        while changed:
+            changed = False
+            for dname, ins in inputs.items():
+                if dname not in down and ins & (frontier | down):
+                    down.add(dname)
+                    changed = True
+        return [dict(x, project=project) for x in self.features(project)
+                if x["name"] in down]
+
+    def delete_entity(self, name: str) -> dict:
+        """Delete a project (by bare project name) or a feature (by
+        qualified/bare feature name). A feature with dependents raises
+        PreconditionError (-> 412, reference main.py:95-107)."""
+        if "/" not in name and name in self.projects():
+            os.remove(os.path.join(self.dir, f"{name}.json"))
+            return {"deleted": name}
+        project, f = self._find(name)
+        deps = self.dependents(name)
+        if deps:
+            raise PreconditionError(
+                f"entity {name!r} cannot be deleted as it has "
+                f"downstream/dependent entities: "
+                f"{sorted(d['name'] for d in deps)}")
+        doc = self.read(project)
+        doc["anchors"] = [dict(a, features=[x for x in a["features"]
+                                            if x["name"] != f["name"]])
+                          for a in doc.get("anchors", [])]
+        doc["derived"] = [d for d in doc.get("derived", [])
+                          if d["name"] != f["name"]]
+        doc["lookups"] = [d for d in doc.get("lookups", [])
+                          if d["name"] != f["name"]]
+        self.write(project, doc)
+        return {"deleted": f["name"], "project": project}
+
+
+class PreconditionError(RuntimeError):
+    """Deletion blocked by dependents (HTTP 412, main.py:100-106)."""
+
 
 class _Handler(BaseHTTPRequestHandler):
     registry: _Registry  # set by serve_registry
@@ -162,6 +219,8 @@ class _Handler(BaseHTTPRequestHandler):
                 limit = int(q["limit"]) if "limit" in q else None
                 return self._send(200, r.features(
                     parts[1], q.get("keyword"), page, limit))
+            if len(parts) >= 2 and parts[0] == "dependent":
+                return self._send(200, r.dependents("/".join(parts[1:])))
             if len(parts) >= 2 and parts[0] == "features":
                 # a qualified name ("{project}/{feature}") spans two
                 # path segments — rejoin everything before a trailing
@@ -175,6 +234,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(404, {"detail": str(e)})
         except ValueError as e:  # main.py:48-53 -> 400
             return self._send(400, {"detail": str(e)})
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        parts = [p for p in urlparse(self.path).path.split("/") if p]
+        try:
+            if len(parts) >= 2 and parts[0] == "entity":
+                return self._send(200, self.registry.delete_entity(
+                    "/".join(parts[1:])))
+            return self._send(404, {"detail": f"no route {self.path}"})
+        except PreconditionError as e:  # main.py:100 -> 412
+            return self._send(412, {"detail": str(e)})
+        except KeyError as e:
+            return self._send(404, {"detail": str(e)})
 
     def do_POST(self) -> None:  # noqa: N802
         u = urlparse(self.path)

@@ -96,3 +96,31 @@ def test_post_project_roundtrip(service):
             _get(f"{base}/projects/proj_copy/features?keyword=sum")] == \
         ["v_sum_1h"]
     assert doc["project"] == "proj_http"
+
+
+def test_dependents_and_delete(service):
+    base, reg = service
+    # v_avg_like consumes v_sum_1h -> it is a dependent
+    deps = _get(f"{base}/dependent/proj_http/v_sum_1h")
+    assert [d["name"] for d in deps] == ["v_avg_like"]
+    assert _get(f"{base}/dependent/proj_http/v_avg_like") == []
+
+    # deleting a feature with dependents -> 412 (reference main.py:100)
+    req = urllib.request.Request(f"{base}/entity/proj_http/v_sum_1h",
+                                 method="DELETE")
+    with pytest.raises(HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 412
+
+    # leaf deletion works and the feature disappears
+    req = urllib.request.Request(f"{base}/entity/proj_http/v_avg_like",
+                                 method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert json.loads(r.read())["deleted"] == "v_avg_like"
+    names = [f["name"] for f in _get(f"{base}/projects/proj_http/features")]
+    assert "v_avg_like" not in names
+    # now the base feature is deletable
+    req = urllib.request.Request(f"{base}/entity/proj_http/v_sum_1h",
+                                 method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert json.loads(r.read())["deleted"] == "v_sum_1h"
